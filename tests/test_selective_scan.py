@@ -1,0 +1,145 @@
+"""Unit tests for the TPU-native selective scan against an independent numpy oracle."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from actalker_tpu.ops.selective_scan import selective_scan
+
+
+def numpy_oracle(u, delta, A, B, C, D=None, delta_bias=None, delta_softplus=True):
+    """Independent fp64 reference implementing the S6 recurrence definition."""
+    u = u.astype(np.float64)
+    delta = delta.astype(np.float64)
+    if delta_bias is not None:
+        delta = delta + delta_bias.astype(np.float64)[None, None, :]
+    if delta_softplus:
+        delta = np.logaddexp(delta, 0.0)
+    b, l, d = u.shape
+    n = A.shape[-1]
+    g = B.shape[2]
+    dpg = d // g
+    Bf = np.repeat(B.astype(np.float64), dpg, axis=2)
+    Cf = np.repeat(C.astype(np.float64), dpg, axis=2)
+    A = A.astype(np.float64)
+    y = np.zeros((b, l, d))
+    h = np.zeros((b, d, n))
+    for t in range(l):
+        dA = np.exp(delta[:, t, :, None] * A[None])
+        dBu = (delta[:, t] * u[:, t])[..., None] * Bf[:, t]
+        h = dA * h + dBu
+        y[:, t] = np.einsum("bdn,bdn->bd", h, Cf[:, t])
+    if D is not None:
+        y = y + u * D.astype(np.float64)[None, None, :]
+    return y
+
+
+def make_inputs(rng, b=2, l=37, d=12, n=4, g=2, dtype=np.float32):
+    u = rng.standard_normal((b, l, d)).astype(dtype)
+    delta = (rng.standard_normal((b, l, d)) * 0.5).astype(dtype)
+    A = (-np.exp(rng.standard_normal((d, n)) * 0.3)).astype(dtype)
+    B = rng.standard_normal((b, l, g, n)).astype(dtype)
+    C = rng.standard_normal((b, l, g, n)).astype(dtype)
+    D = rng.standard_normal((d,)).astype(dtype)
+    bias = (rng.standard_normal((d,)) * 0.2).astype(dtype)
+    return u, delta, A, B, C, D, bias
+
+
+@pytest.mark.parametrize("impl", ["seq", "assoc", "blocked"])
+def test_matches_oracle(impl):
+    rng = np.random.default_rng(0)
+    u, delta, A, B, C, D, bias = make_inputs(rng)
+    want = numpy_oracle(u, delta, A, B, C, D, bias)
+    got = selective_scan(u, delta, A, B, C, D, bias, impl=impl, chunk=8)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("impl", ["assoc", "blocked"])
+def test_impls_agree_long(impl):
+    rng = np.random.default_rng(1)
+    u, delta, A, B, C, D, bias = make_inputs(rng, b=1, l=300, d=8, n=16, g=1)
+    ref = selective_scan(u, delta, A, B, C, D, bias, impl="seq")
+    got = selective_scan(u, delta, A, B, C, D, bias, impl=impl, chunk=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_no_skip_no_bias():
+    rng = np.random.default_rng(2)
+    u, delta, A, B, C, _, _ = make_inputs(rng, l=16)
+    want = numpy_oracle(u, delta, A, B, C, None, None, delta_softplus=False)
+    got = selective_scan(u, delta, A, B, C, None, None, delta_softplus=False, impl="blocked", chunk=8)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_padding_transparency():
+    """delta == 0 tokens must be identity elements: inserting them between real
+    tokens must not change the state seen by later tokens (the masked-dense
+    equivalence the SS2D_cond mask-select block relies on)."""
+    rng = np.random.default_rng(3)
+    b, l, d, n, g = 1, 10, 6, 4, 1
+    u, delta, A, B, C, D, bias = make_inputs(rng, b=b, l=l, d=d, n=n, g=g)
+    # Interleave transparent tokens: delta + bias = -inf -> softplus = 0.
+    lp = 2 * l
+    u2 = np.zeros((b, lp, d), np.float32)
+    delta2 = np.full((b, lp, d), -1e9, np.float32)
+    B2 = np.zeros((b, lp, g, n), np.float32)
+    C2 = np.zeros((b, lp, g, n), np.float32)
+    u2[:, ::2] = u
+    delta2[:, ::2] = delta
+    B2[:, ::2] = B
+    C2[:, ::2] = C
+    y_sparse = selective_scan(u, delta, A, B, C, D, bias, impl="blocked", chunk=4)
+    y_dense = selective_scan(u2, delta2, A, B2, C2, D, bias, impl="blocked", chunk=4)
+    np.testing.assert_allclose(
+        np.asarray(y_dense[:, ::2]), np.asarray(y_sparse), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_grad_flows():
+    rng = np.random.default_rng(4)
+    u, delta, A, B, C, D, bias = make_inputs(rng, b=1, l=12, d=4, n=2, g=1)
+
+    def loss(u_, delta_, A_):
+        return jnp.sum(selective_scan(u_, delta_, A_, B, C, D, bias, impl="blocked", chunk=4) ** 2)
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(u, delta, A)
+
+    def loss_seq(u_, delta_, A_):
+        return jnp.sum(selective_scan(u_, delta_, A_, B, C, D, bias, impl="seq") ** 2)
+
+    g2 = jax.grad(loss_seq, argnums=(0, 1, 2))(u, delta, A)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
+
+
+class TestPallas:
+    def _inputs(self, b=2, l=50, d=12, n=4, seed=7):
+        rng = np.random.default_rng(seed)
+        u = rng.standard_normal((b, l, d)).astype(np.float32)
+        delta = (rng.standard_normal((b, l, d)) * 0.5).astype(np.float32)
+        A = (-np.exp(rng.standard_normal((d, n)) * 0.3)).astype(np.float32)
+        B = rng.standard_normal((b, l, n)).astype(np.float32)
+        C = rng.standard_normal((b, l, n)).astype(np.float32)
+        D = rng.standard_normal((d,)).astype(np.float32)
+        bias = (rng.standard_normal((d,)) * 0.2).astype(np.float32)
+        return u, delta, A, B, C, D, bias
+
+    def test_forward_matches_seq(self):
+        from actalker_tpu.ops.selective_scan_pallas import ssm_scan
+
+        u, delta, A, B, C, D, bias = self._inputs()
+        want = selective_scan(u, delta, A, B[:, :, None], C[:, :, None], D, bias, impl="seq")
+        got = ssm_scan(u, delta, A, B, C, D, bias, lc=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    def test_reverse_matches_flipped_seq(self):
+        from actalker_tpu.ops.selective_scan_pallas import ssm_scan
+
+        u, delta, A, B, C, D, bias = self._inputs(l=37)
+        flip = lambda x: np.ascontiguousarray(x[:, ::-1])
+        want = selective_scan(
+            flip(u), flip(delta), A, flip(B)[:, :, None], flip(C)[:, :, None], D, bias, impl="seq"
+        )
+        want = np.asarray(want)[:, ::-1]
+        got = ssm_scan(u, delta, A, B, C, D, bias, reverse=True, lc=16)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
