@@ -1,0 +1,100 @@
+"""Scheduler unit tests: hand-derived golden values + invariants."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from actalker_tpu.diffusion import scheduler as sch
+from actalker_tpu.diffusion.noise import video_fusion_noise, random_noise
+
+
+CFG = sch.EulerDiscreteConfig()  # SVD-XT defaults
+
+
+def test_karras_sigma_table_golden():
+    sigmas, timesteps = sch.set_timesteps(CFG, 25)
+    assert sigmas.shape == (26,) and timesteps.shape == (25,)
+    # Karras endpoints: sigma_max first, sigma_min last (before terminal 0).
+    np.testing.assert_allclose(sigmas[0], 700.0, rtol=1e-5)
+    np.testing.assert_allclose(sigmas[24], 0.002, rtol=1e-4)
+    assert sigmas[25] == 0.0
+    assert np.all(np.diff(sigmas) < 0)
+    # Hand-computed rho-7 ramp midpoint (i = 12 of 0..24):
+    inv = 1 / 7.0
+    want = (700.0**inv + (12 / 24) * (0.002**inv - 700.0**inv)) ** 7.0
+    np.testing.assert_allclose(sigmas[12], want, rtol=1e-6)
+    # Continuous (EDM) timesteps: 0.25 * ln(sigma)
+    np.testing.assert_allclose(timesteps, 0.25 * np.log(sigmas[:25]), rtol=1e-5)
+
+
+def test_init_noise_sigma_leading():
+    sigmas, _ = sch.set_timesteps(CFG, 25)
+    got = sch.init_noise_sigma(CFG, sigmas)
+    np.testing.assert_allclose(got, (700.0**2 + 1) ** 0.5, rtol=1e-6)
+
+
+def test_training_sigmas_monotonic():
+    sig = sch.training_sigmas(CFG)
+    assert sig.shape == (1000,)
+    assert np.all(np.diff(sig) > 0)
+    # sigma_0 = sqrt((1-a0)/a0) with a0 = 1 - beta_0
+    beta0 = 0.00085
+    np.testing.assert_allclose(sig[0], np.sqrt(beta0 / (1 - beta0)), rtol=1e-6)
+
+
+def test_euler_step_epsilon_exact():
+    # epsilon parameterization: x' = x + (sigma_next - sigma) * eps_hat
+    x = jnp.ones((2, 3)) * 5.0
+    eps = jnp.ones((2, 3)) * 0.5
+    out = sch.step(x, eps, sigma=2.0, sigma_next=1.0, prediction_type="epsilon")
+    # pred_x0 = x - 2*0.5 = 4 ; d = (x - x0)/2 = 0.5 ; dt = -1 -> x' = 4.5
+    np.testing.assert_allclose(np.asarray(out), 4.5)
+
+
+def test_euler_step_v_prediction_exact():
+    x = jnp.full((1,), 3.0)
+    v = jnp.full((1,), 0.7)
+    sigma, sigma_next = 2.0, 0.5
+    pred_x0 = 0.7 * (-sigma / np.sqrt(sigma**2 + 1)) + 3.0 / (sigma**2 + 1)
+    d = (3.0 - pred_x0) / sigma
+    want = 3.0 + d * (sigma_next - sigma)
+    out = sch.step(x, v, sigma, sigma_next, "v_prediction")
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+
+def test_full_denoise_converges_on_known_target():
+    """Sanity: with a perfect epsilon oracle, Euler sampling recovers x0."""
+    cfg = sch.EulerDiscreteConfig(prediction_type="epsilon")
+    sigmas, _ = sch.set_timesteps(cfg, 50)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (4, 8))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    x = sch.add_noise(x0, noise, sigmas[0])
+    for i in range(50):
+        eps_hat = (x - x0) / sigmas[i]  # oracle
+        x = sch.step(x, eps_hat, sigmas[i], sigmas[i + 1], "epsilon")
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
+
+
+def test_i2i_truncate():
+    sigmas, timesteps = sch.set_timesteps(CFG, 25)
+    s2, t2, n2 = sch.i2i_truncate(sigmas, timesteps, 25, strength=0.4)
+    assert n2 == 10
+    assert len(t2) == 10 and len(s2) == 11
+    np.testing.assert_allclose(t2, timesteps[15:])
+
+
+def test_video_fusion_noise_stats():
+    key = jax.random.PRNGKey(0)
+    n = video_fusion_noise(key, (2, 8, 4, 16, 16), w_ind_noise=0.5)
+    assert n.shape == (2, 8, 4, 16, 16)
+    # unit variance preserved by the sqrt mixing
+    assert abs(float(jnp.var(n)) - 1.0) < 0.05
+    # frames share the common component: cross-frame correlation ~ 1 - s
+    f = n.reshape(2, 8, -1)
+    c = jnp.mean(f[:, 0] * f[:, 1])
+    assert 0.3 < float(c) < 0.7
+
+
+def test_random_noise_offset_shape():
+    n = random_noise(jax.random.PRNGKey(0), (2, 4, 3, 8, 8), noise_offset=0.1)
+    assert n.shape == (2, 4, 3, 8, 8)
