@@ -1,0 +1,215 @@
+"""Transformer blocks: self/cross attention with IP-adapter branches, GEGLU
+feed-forward, and the spatial/temporal basic blocks.
+
+Parity targets in the reference:
+  * ``Attention`` + ``AttnProcessor2_0`` / ``IPAdapterAttnProcessor2_0``
+    (``src/models/base/attention_processor.py:2704-2934``): base SDPA over the
+    id-embedding context plus one SDPA branch per adapter (audio tokens, VASA
+    token) through per-adapter k/v projections, each scaled and optionally
+    region-masked via a bicubic mask downsample.
+  * ``BasicTransformerBlock`` (``src/models/base/attention.py:29-343``):
+    LN -> self-attn -> LN -> cross-attn(+IP) -> LN -> GEGLU FF.
+  * ``TemporalBasicTransformerBlock`` (``attention.py:347-473``): reshapes
+    (B*F, S, C) -> (B*S, F, C), with an input FF and residual.
+
+Design notes (TPU): heads stay in the (B, S, H, Dh) layout consumed by
+``ops.attention.dot_product_attention`` (XLA fuses into a flash kernel); the
+IP branches share the query projection with the base attention so the three
+SDPAs batch cleanly; masks are downsampled host-shape-statically and applied
+as (B, S, 1) multipliers.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from actalker_tpu.models.common import LayerNormF32, dense
+from actalker_tpu.ops.attention import dot_product_attention
+
+
+def downsample_ip_mask(mask: jax.Array, num_queries: int) -> jax.Array:
+    """(B, 1, H, W) -> (B, num_queries, 1) multiplier.
+
+    Matches diffusers' ``IPAdapterMaskProcessor.downsample``: bicubic resize
+    to a (mask_h, mask_w) grid chosen from the query count and the mask aspect
+    ratio, flatten, then zero-pad / truncate to ``num_queries``.
+    """
+    b, _, o_h, o_w = mask.shape
+    ratio = o_w / o_h
+    mask_h = int(math.sqrt(num_queries / ratio))
+    mask_h = mask_h + int((num_queries % mask_h) != 0)
+    mask_w = num_queries // mask_h
+    m = jax.image.resize(mask[:, 0], (b, mask_h, mask_w), method="cubic")
+    m = m.reshape(b, mask_h * mask_w)
+    if mask_h * mask_w < num_queries:
+        m = jnp.pad(m, ((0, 0), (0, num_queries - mask_h * mask_w)))
+    elif mask_h * mask_w > num_queries:
+        m = m[:, :num_queries]
+    return m[:, :, None]
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional IP-adapter branches.
+
+    ``num_adapters > 0`` adds per-adapter ``to_k_ip``/``to_v_ip`` projections;
+    call with ``ip_contexts`` (list of (B, Si, Cc)), per-adapter ``ip_scales``
+    and optional ``ip_masks`` ((B, 1, H, W) region masks or None).
+    """
+
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None  # None => self-attention dims
+    out_dim: Optional[int] = None
+    num_adapters: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                     # (B, S, C)
+        context: Optional[jax.Array] = None,
+        ip_contexts: Optional[List[jax.Array]] = None,
+        ip_scales: Optional[Sequence[float]] = None,
+        ip_masks: Optional[List[Optional[jax.Array]]] = None,
+    ) -> jax.Array:
+        b, s, c = x.shape
+        inner = self.heads * self.head_dim
+        ctx = x if context is None else context
+        # Shared-context folding: if the context batch divides the query batch
+        # (e.g. one frame-pooled context per clip, queries per spatial
+        # position), fold the group into the query length instead of
+        # materializing a repeated context — attention does not mix queries,
+        # so this is exact, and it avoids the reference's giant
+        # ``repeat(1, h*w, 1, 1)`` broadcast (TransformerSTmodel.py:4049).
+        bc = ctx.shape[0]
+
+        def attend(q, k, v):
+            bk = k.shape[0]
+            if bk == b:
+                return dot_product_attention(q, k, v)
+            assert b % bk == 0, (b, bk)
+            qf = q.reshape(bk, (b // bk) * s, self.heads, self.head_dim)
+            out = dot_product_attention(qf, k, v)
+            return out.reshape(b, s, self.heads, self.head_dim)
+
+        q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = q.reshape(b, s, self.heads, self.head_dim)
+        k = k.reshape(bc, -1, self.heads, self.head_dim)
+        v = v.reshape(bc, -1, self.heads, self.head_dim)
+        out = attend(q, k, v)
+        out = out.reshape(b, s, inner)
+
+        if self.num_adapters:
+            assert ip_contexts is not None and len(ip_contexts) == self.num_adapters
+            if ip_scales is None:
+                ip_scales = [1.0] * self.num_adapters
+            for i in range(self.num_adapters):
+                ip_ctx = ip_contexts[i]
+                bi = ip_ctx.shape[0]
+                k_ip = dense(inner, use_bias=False, dtype=self.dtype,
+                             name=f"to_k_ip_{i}")(ip_ctx)
+                v_ip = dense(inner, use_bias=False, dtype=self.dtype,
+                             name=f"to_v_ip_{i}")(ip_ctx)
+                k_ip = k_ip.reshape(bi, -1, self.heads, self.head_dim)
+                v_ip = v_ip.reshape(bi, -1, self.heads, self.head_dim)
+                ip_out = attend(q, k_ip, v_ip).reshape(b, s, inner)
+                if ip_masks is not None and ip_masks[i] is not None:
+                    m = downsample_ip_mask(ip_masks[i], s).astype(ip_out.dtype)
+                    if m.shape[0] != b:  # broadcast one mask over frames
+                        m = jnp.broadcast_to(m, (b,) + m.shape[1:])
+                    ip_out = ip_out * m
+                out = out + jnp.asarray(ip_scales[i], out.dtype) * ip_out
+
+        return dense(self.out_dim or c, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward: proj to 2*inner, gate with GELU, project out."""
+
+    dim_out: Optional[int] = None
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return dense(self.dim_out or dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None
+    num_adapters: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, ip_contexts=None, ip_scales=None,
+                 ip_masks=None):
+        h = LayerNormF32(name="norm1")(x)
+        x = x + Attention(
+            self.heads, self.head_dim, dtype=self.dtype, name="attn1"
+        )(h)
+        if self.context_dim is not None:
+            h = LayerNormF32(name="norm2")(x)
+            x = x + Attention(
+                self.heads, self.head_dim, context_dim=self.context_dim,
+                num_adapters=self.num_adapters, dtype=self.dtype, name="attn2",
+            )(h, context=context, ip_contexts=ip_contexts, ip_scales=ip_scales,
+              ip_masks=ip_masks)
+        h = LayerNormF32(name="norm3")(x)
+        return x + FeedForward(dtype=self.dtype, name="ff")(h)
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    """Attention over the frame axis: (B*F, S, C) -> (B*S, F, C) internally.
+
+    The cross-attention context here is the frame-pooled conditioning
+    (``spatial2time`` in the reference); its IP branches run unmasked (the
+    reference's temporal blocks don't receive ip_adapter_masks).
+    """
+
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None
+    num_adapters: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames, context=None, ip_contexts=None,
+                 ip_scales=None):
+        bf, s, c = x.shape
+        b = bf // num_frames
+        h = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(
+            b * s, num_frames, c
+        )
+        residual = h
+        h = LayerNormF32(name="norm_in")(h)
+        h = FeedForward(dtype=self.dtype, name="ff_in")(h)
+        h = h + residual
+
+        n = LayerNormF32(name="norm1")(h)
+        h = h + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(n)
+
+        if self.context_dim is not None:
+            n = LayerNormF32(name="norm2")(h)
+            h = h + Attention(
+                self.heads, self.head_dim, context_dim=self.context_dim,
+                num_adapters=self.num_adapters, dtype=self.dtype, name="attn2",
+            )(n, context=context, ip_contexts=ip_contexts, ip_scales=ip_scales)
+
+        n = LayerNormF32(name="norm3")(h)
+        h = h + FeedForward(dtype=self.dtype, name="ff")(n)
+
+        h = h.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(bf, s, c)
+        return h

@@ -1,0 +1,191 @@
+"""Selective-state-space (Mamba) control blocks — the paper's novelty.
+
+Parity targets in the reference:
+  * ``SS2D_Unit`` (``src/models/base/mamba_layer.py:1394-1553``): a bare
+    bidirectional 1-D selective scan over a token sequence ('sweep' order,
+    ``num_direction=2``) with per-direction input/dt projections and S4D-real
+    initialized state matrices.
+  * ``SS2D_cond_v10`` (``mamba_layer.py:1902-1986``): the masked-select block.
+    Per control branch (audio / expression): project tokens with ``in_proj``,
+    *gather only the tokens inside the region mask*, append projected identity
+    and control tokens, scan, scatter results back, then sum branches ->
+    LayerNorm -> out_proj.
+
+TPU-native redesign — masked-dense scan instead of gather/scatter: XLA needs
+static shapes, and a data-dependent gather would force recompilation (or
+host sync) per mask. Instead we scan *all* tokens in place and force
+``delta -> -inf`` (=> softplus(delta) ~ 0) at unselected positions, which
+makes them exact identity elements of the recurrence: the state seen by
+selected tokens (in both scan directions) is bit-for-bit the same as if the
+unselected tokens had been gathered away (see
+``tests/test_selective_scan.py::test_padding_transparency``). Outputs at
+unselected positions are replaced by the branch's in_proj activations, which
+reproduces the reference's scatter semantics exactly.
+
+The scan itself runs on the Pallas kernel (``ops/selective_scan_pallas``) on
+TPU; tests use the pure-XLA blocked scan.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from actalker_tpu.models.attention_blocks import downsample_ip_mask
+from actalker_tpu.models.common import LayerNormF32, dense
+from actalker_tpu.ops.selective_scan import selective_scan
+
+
+def _scan_one_direction(u, delta, A, Bm, Cm, D, bias, reverse, impl, dtype):
+    """(B, L, d) scan in one direction with the chosen backend."""
+    if impl == "pallas":
+        from actalker_tpu.ops.selective_scan_pallas import ssm_scan
+
+        y = ssm_scan(u, delta, A, Bm, Cm, D, bias, reverse=reverse)
+    else:
+        flip = (lambda t: jnp.flip(t, axis=1)) if reverse else (lambda t: t)
+        y = selective_scan(
+            flip(u), flip(delta), A, flip(Bm)[:, :, None], flip(Cm)[:, :, None],
+            D, bias, impl=impl,
+        )
+        y = flip(y)
+    return y.astype(dtype)
+
+
+class SS2DUnit(nn.Module):
+    """Bidirectional selective scan over (B, L, d_inner) sequences."""
+
+    d_inner: int
+    d_state: int = 16
+    dt_rank: Optional[int] = None
+    num_direction: int = 2
+    scan_impl: str = "pallas"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        k = self.num_direction
+        d, n = self.d_inner, self.d_state
+        rank = self.dt_rank or math.ceil(self.d_inner / 2 / 16)
+        self.rank = rank
+        # per-direction projections; mamba-style inits.
+        dt_std = rank**-0.5
+        self.x_proj_weight = self.param(
+            "x_proj_weight",
+            lambda key: jax.random.uniform(
+                key, (k, rank + 2 * n, d), jnp.float32,
+                -(d**-0.5), d**-0.5,
+            ),
+        )
+        self.dt_projs_weight = self.param(
+            "dt_projs_weight",
+            lambda key: jax.random.uniform(
+                key, (k, d, rank), jnp.float32, -dt_std, dt_std
+            ),
+        )
+
+        def dt_bias_init(key):
+            dt_min, dt_max, floor = 1e-3, 0.1, 1e-4
+            u = jax.random.uniform(key, (k, d))
+            dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+            dt = jnp.maximum(dt, floor)
+            return dt + jnp.log(-jnp.expm1(-dt))  # inverse softplus
+
+        self.dt_projs_bias = self.param("dt_projs_bias", dt_bias_init)
+        self.A_logs = self.param(
+            "A_logs",
+            lambda key: jnp.log(
+                jnp.tile(jnp.arange(1, n + 1, dtype=jnp.float32)[None], (k * d, 1))
+            ),
+        )
+        self.Ds = self.param("Ds", lambda key: jnp.ones((k * d,), jnp.float32))
+
+    def __call__(self, x, transparent_mask=None):
+        """x: (B, L, d_inner); transparent_mask: (B, L) bool, False -> the
+        token is an identity element of the scan (masked-dense select)."""
+        b, l, d = x.shape
+        n, rank = self.d_state, self.rank
+        y = jnp.zeros((b, l, d), self.dtype)
+        for k in range(self.num_direction):
+            xw = self.x_proj_weight[k].astype(self.dtype)      # (rank+2n, d)
+            x_dbl = jnp.einsum("bld,cd->blc", x, xw)
+            dts = x_dbl[..., :rank]
+            Bm = x_dbl[..., rank:rank + n]
+            Cm = x_dbl[..., rank + n:]
+            delta = jnp.einsum(
+                "blr,dr->bld", dts, self.dt_projs_weight[k].astype(self.dtype)
+            )
+            if transparent_mask is not None:
+                delta = jnp.where(transparent_mask[:, :, None], delta, -1e9)
+            A = -jnp.exp(self.A_logs[k * d:(k + 1) * d].astype(jnp.float32))
+            yk = _scan_one_direction(
+                x, delta, A, Bm, Cm,
+                self.Ds[k * d:(k + 1) * d], self.dt_projs_bias[k],
+                reverse=(k % 2 == 1), impl=self.scan_impl, dtype=self.dtype,
+            )
+            y = y + yk
+        return y
+
+
+class SS2DCondV10(nn.Module):
+    """Masked-select dual-branch SSM control block (production variant)."""
+
+    d_model: int
+    d_cond: int = 1024
+    d_state: int = 16
+    expand: int = 2
+    scan_impl: str = "pallas"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                         # (B, L, C) tokens
+        id_emb: jax.Array,                    # (B, 1, d_cond)
+        audio_cond: jax.Array,                # (B, Sa, d_cond)
+        exp_cond: jax.Array,                  # (B, Se, d_cond)
+        audio_mask: Optional[jax.Array],      # (Bm, 1, H, W) or None (= all on)
+        exp_mask: Optional[jax.Array],
+    ) -> jax.Array:
+        b, l, c = x.shape
+        d_inner = self.expand * self.d_model
+        dt_rank = math.ceil(self.d_model / 16)
+        id_tok = nn.silu(dense(d_inner, use_bias=False, dtype=self.dtype,
+                               name="id_proj")(id_emb))
+
+        def branch(name, proj_name, cond, mask):
+            xz = dense(d_inner, use_bias=False, dtype=self.dtype,
+                       name=f"in_proj{name}")(x)
+            cond_tok = nn.silu(dense(d_inner, use_bias=False, dtype=self.dtype,
+                                     name=proj_name)(cond))
+            if mask is None:
+                sel = jnp.ones((b, l), bool)
+            else:
+                m = downsample_ip_mask(mask, l)[..., 0]        # (Bm, L)
+                # reference selects tokens where int(mask) != 0 after bicubic
+                # downsample, i.e. values that reach 1.0.
+                sel = m >= 1.0 - 1e-6
+                if sel.shape[0] != b:
+                    sel = jnp.broadcast_to(sel, (b, l))
+            ntok = id_tok.shape[1] + cond_tok.shape[1]
+            seq = jnp.concatenate(
+                [xz, jnp.broadcast_to(id_tok, (b,) + id_tok.shape[1:]),
+                 jnp.broadcast_to(cond_tok, (b,) + cond_tok.shape[1:])], axis=1
+            )
+            tmask = jnp.concatenate(
+                [sel, jnp.ones((b, ntok), bool)], axis=1
+            )
+            y = SS2DUnit(
+                d_inner, d_state=self.d_state, dt_rank=dt_rank,
+                scan_impl=self.scan_impl, dtype=self.dtype,
+                name=f"{'audio' if name == '1' else 'exp'}_unit",
+            )(seq, transparent_mask=tmask)
+            return jnp.where(sel[:, :, None], y[:, :l], xz)
+
+        xz1 = branch("1", "audio_proj", audio_cond, audio_mask)
+        xz2 = branch("2", "exp_proj", exp_cond, exp_mask)
+        y = LayerNormF32(name="out_norm")(xz1 + xz2)
+        return dense(self.d_model, use_bias=False, dtype=self.dtype,
+                     name="out_proj")(y)

@@ -1,0 +1,247 @@
+"""Model-layer tests: shapes, invariants, and torch-oracle numerics for the
+standard pieces (GroupNorm/attention/GEGLU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from actalker_tpu.models.attention_blocks import (
+    Attention,
+    BasicTransformerBlock,
+    FeedForward,
+    TemporalBasicTransformerBlock,
+    downsample_ip_mask,
+)
+from actalker_tpu.models.conditioning import Conditioning
+from actalker_tpu.models.embeddings import AlphaBlender, sinusoidal_embedding
+from actalker_tpu.models.pose_guider import PoseGuider
+from actalker_tpu.models.projections import AudioProjModel, IDProjModel, VasaProjModel
+from actalker_tpu.models.resnet import ResnetBlock2D, SpatioTemporalResBlock
+from actalker_tpu.models.ssm import SS2DCondV10, SS2DUnit
+from actalker_tpu.models.transformer_st import TransformerSpatioTemporal
+from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
+
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_cond(bf=4, d_cond=32, hw=16):
+    return Conditioning(
+        id_tokens=jax.random.normal(jax.random.PRNGKey(1), (bf, 1, d_cond)),
+        audio_tokens=jax.random.normal(jax.random.PRNGKey(2), (bf, 8, d_cond)),
+        vasa_tokens=jax.random.normal(jax.random.PRNGKey(3), (bf, 1, d_cond)),
+        audio_mask=jnp.ones((1, 1, hw, hw)),
+        exp_mask=jnp.ones((1, 1, hw, hw)),
+        ip_scales=(1.25, 1.25),
+    )
+
+
+def test_sinusoidal_matches_torch_formula():
+    """Oracle: diffusers get_timestep_embedding semantics recomputed in numpy."""
+    t = np.array([0.0, 1.0, 7.5, 999.0])
+    dim = 16
+    half = dim // 2
+    freqs = np.exp(-np.log(10000.0) * np.arange(half) / half)
+    arg = t[:, None] * freqs[None]
+    want = np.concatenate([np.cos(arg), np.sin(arg)], axis=-1)  # flip_sin_to_cos
+    got = sinusoidal_embedding(jnp.asarray(t), dim)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_attention_matches_torch_sdpa():
+    torch = pytest.importorskip("torch")
+    b, s, heads, hd = 2, 10, 4, 8
+    c = heads * hd
+    x = np.random.default_rng(0).standard_normal((b, s, c)).astype(np.float32)
+    attn = Attention(heads=heads, head_dim=hd)
+    params = attn.init(KEY, jnp.asarray(x))
+    y = attn.apply(params, jnp.asarray(x))
+    # torch oracle with the same weights
+    p = params["params"]
+    xt = torch.tensor(x)
+    q = xt @ torch.tensor(np.asarray(p["to_q"]["kernel"]))
+    k = xt @ torch.tensor(np.asarray(p["to_k"]["kernel"]))
+    v = xt @ torch.tensor(np.asarray(p["to_v"]["kernel"]))
+    q = q.view(b, s, heads, hd).transpose(1, 2)
+    k = k.view(b, s, heads, hd).transpose(1, 2)
+    v = v.view(b, s, heads, hd).transpose(1, 2)
+    o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+    o = o.transpose(1, 2).reshape(b, s, c)
+    o = o @ torch.tensor(np.asarray(p["to_out"]["kernel"])) + torch.tensor(
+        np.asarray(p["to_out"]["bias"])
+    )
+    np.testing.assert_allclose(np.asarray(y), o.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_ip_adapter_zero_scale_equals_base():
+    b, s, c = 2, 9, 16
+    x = jax.random.normal(KEY, (b, s, c))
+    ctx = jax.random.normal(jax.random.PRNGKey(5), (b, 1, 24))
+    ip = [jax.random.normal(jax.random.PRNGKey(6), (b, 4, 24)),
+          jax.random.normal(jax.random.PRNGKey(7), (b, 1, 24))]
+    attn = Attention(heads=2, head_dim=8, context_dim=24, num_adapters=2)
+    params = attn.init(KEY, x, context=ctx, ip_contexts=ip)
+    y0 = attn.apply(params, x, context=ctx, ip_contexts=ip, ip_scales=(0.0, 0.0))
+    base = Attention(heads=2, head_dim=8, context_dim=24)
+    bp = {"params": {k: params["params"][k] for k in ("to_q", "to_k", "to_v", "to_out")}}
+    y1 = base.apply(bp, x, context=ctx)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-5)
+
+
+def test_shared_context_folding_is_exact():
+    """Folded shared-context attention == repeated-context attention."""
+    b, s, c = 6, 5, 16
+    x = jax.random.normal(KEY, (b, s, c))
+    ctx_small = jax.random.normal(jax.random.PRNGKey(8), (2, 3, 16))  # b=2 groups of 3
+    attn = Attention(heads=2, head_dim=8, context_dim=16)
+    params = attn.init(KEY, x, context=jnp.repeat(ctx_small, 3, axis=0))
+    y_rep = attn.apply(params, x, context=jnp.repeat(ctx_small, 3, axis=0))
+    y_fold = attn.apply(params, x, context=ctx_small)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_rep), rtol=1e-4, atol=1e-5)
+
+
+def test_geglu_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(1).standard_normal((3, 7, 12)).astype(np.float32)
+    ff = FeedForward()
+    params = ff.init(KEY, jnp.asarray(x))
+    y = ff.apply(params, jnp.asarray(x))
+    p = params["params"]
+    xt = torch.tensor(x)
+    h = xt @ torch.tensor(np.asarray(p["proj_in"]["kernel"])) + torch.tensor(
+        np.asarray(p["proj_in"]["bias"]))
+    a, gate = h.chunk(2, dim=-1)
+    h = a * torch.nn.functional.gelu(gate)
+    o = h @ torch.tensor(np.asarray(p["proj_out"]["kernel"])) + torch.tensor(
+        np.asarray(p["proj_out"]["bias"]))
+    np.testing.assert_allclose(np.asarray(y), o.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_groupnorm_matches_torch():
+    torch = pytest.importorskip("torch")
+    from actalker_tpu.models.common import GroupNorm32
+
+    x = np.random.default_rng(2).standard_normal((2, 6, 6, 32)).astype(np.float32)
+    gn = GroupNorm32(num_groups=8, epsilon=1e-5)
+    params = gn.init(KEY, jnp.asarray(x))
+    y = gn.apply(params, jnp.asarray(x))
+    xt = torch.tensor(x).permute(0, 3, 1, 2)
+    o = torch.nn.functional.group_norm(xt, 8, eps=1e-5).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), o.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_block_shapes():
+    x = jax.random.normal(KEY, (4, 8, 8, 16))
+    temb = jax.random.normal(KEY, (4, 24))
+    blk = ResnetBlock2D(out_channels=32)
+    params = blk.init(KEY, x, temb)
+    y = blk.apply(params, x, temb)
+    assert y.shape == (4, 8, 8, 32)
+
+
+def test_spatiotemporal_resblock():
+    x = jax.random.normal(KEY, (2, 3, 8, 8, 16))
+    temb = jax.random.normal(KEY, (6, 24))
+    ind = jnp.zeros((2, 3))
+    blk = SpatioTemporalResBlock(out_channels=16)
+    params = blk.init(KEY, x, temb, ind)
+    y = blk.apply(params, x, temb, ind)
+    assert y.shape == x.shape
+    # image_only_indicator = 1 selects the spatial branch only
+    y_img = blk.apply(params, x, temb, jnp.ones((2, 3)))
+    assert not np.allclose(np.asarray(y), np.asarray(y_img))
+
+
+def test_ssm_unit_masked_dense_equals_gather():
+    """The masked-dense scan must equal physically removing masked tokens."""
+    b, l, d = 2, 12, 8
+    x = jax.random.normal(KEY, (b, l, d))
+    unit = SS2DUnit(d_inner=d, d_state=4, dt_rank=2, scan_impl="blocked")
+    params = unit.init(KEY, x)
+    keep = jnp.array([True, False] * (l // 2))
+    mask = jnp.tile(keep[None], (b, 1))
+    y_dense = unit.apply(params, x, transparent_mask=mask)
+    x_gathered = x[:, keep]
+    y_gather = unit.apply(params, x_gathered)
+    np.testing.assert_allclose(
+        np.asarray(y_dense[:, keep]), np.asarray(y_gather), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ss2d_cond_v10_shapes_and_zero_mask():
+    b, l, c, dc = 2, 16, 8, 12
+    x = jax.random.normal(KEY, (b, l, c))
+    id_emb = jax.random.normal(KEY, (b, 1, dc))
+    audio = jax.random.normal(KEY, (b, 4, dc))
+    exp = jax.random.normal(KEY, (b, 1, dc))
+    blk = SS2DCondV10(d_model=c, d_cond=dc, d_state=4, scan_impl="blocked")
+    ones = jnp.ones((1, 1, 8, 8))
+    params = blk.init(KEY, x, id_emb, audio, exp, ones, ones)
+    y = blk.apply(params, x, id_emb, audio, exp, ones, ones)
+    assert y.shape == (b, l, c)
+    # zero masks: both branches pass in_proj(x) through -> output is
+    # out_proj(norm(in_proj1(x) + in_proj2(x))), independent of conds
+    zeros = jnp.zeros((1, 1, 8, 8))
+    y0a = blk.apply(params, x, id_emb, audio, exp, zeros, zeros)
+    y0b = blk.apply(params, x, id_emb, audio * 5.0, exp * -3.0, zeros, zeros)
+    np.testing.assert_allclose(np.asarray(y0a), np.asarray(y0b), rtol=1e-5, atol=1e-5)
+
+
+def test_transformer_st_runs():
+    b, f, hh, ww, c = 1, 3, 8, 8, 16
+    x = jax.random.normal(KEY, (b, f, hh, ww, c))
+    cond = make_cond(bf=b * f, d_cond=32, hw=hh)
+    tr = TransformerSpatioTemporal(heads=2, head_dim=8, context_dim=32,
+                                   use_mamba=True, scan_impl="blocked")
+    ind = jnp.zeros((b, f))
+    params = tr.init(KEY, x, cond, ind)
+    y = tr.apply(params, x, cond, ind)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_projections():
+    audio = jax.random.normal(KEY, (1, 2, 10, 5, 384))
+    m = AudioProjModel()
+    p = m.init(KEY, audio)
+    out = m.apply(p, audio)
+    assert out.shape == (1, 2, 32, 1024)
+
+    idp = IDProjModel()
+    p = idp.init(KEY, jnp.ones((2, 512)))
+    assert idp.apply(p, jnp.ones((2, 512))).shape == (2, 1024)
+
+    vp = VasaProjModel(output_dim=1018)
+    p = vp.init(KEY, jnp.ones((2, 512)))
+    assert vp.apply(p, jnp.ones((2, 512))).shape == (2, 1018)
+
+
+def test_pose_guider_zero_init():
+    x = jax.random.normal(KEY, (1, 2, 32, 32, 3))
+    pg = PoseGuider(embedding_channels=20)
+    params = pg.init(KEY, x)
+    y = pg.apply(params, x)
+    assert y.shape == (1, 2, 4, 4, 20)
+    np.testing.assert_allclose(np.asarray(y), 0.0)  # zero-init final conv
+
+
+def test_tiny_unet_end_to_end():
+    cfg = UNetConfig(scan_impl="blocked").tiny()
+    unet = UNetSpatioTemporalCondition(cfg)
+    b, f, hh, ww = 1, 2, 16, 16
+    sample = jax.random.normal(KEY, (b, f, hh, ww, 8))
+    cond = make_cond(bf=b * f, d_cond=1024, hw=hh)
+    tids = jnp.array([[6.0, 127.0, 127.0]])
+    params = unet.init(KEY, sample, 0.5, cond, tids)
+    y = unet.apply(params, sample, 0.5, cond, tids)
+    assert y.shape == (b, f, hh, ww, 4)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_mask_downsample_box():
+    m = np.zeros((1, 1, 16, 16), np.float32)
+    m[:, :, 4:12, 4:12] = 1.0
+    out = downsample_ip_mask(jnp.asarray(m), 64)  # 8x8 grid
+    out = np.asarray(out).reshape(8, 8)
+    assert out[4, 4] > 0.9   # box interior survives
+    assert out[0, 0] < 0.1   # outside stays off
