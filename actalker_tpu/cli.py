@@ -1,0 +1,164 @@
+"""Inference CLI preserving the reference's public surface
+(``Inference.py:597-613``):
+
+    python -m actalker_tpu.cli --config config/inference.yaml \
+        --ref face.jpg --audio speech.mp3 [--video drive.mp4] --mode 0|1|2
+
+mode 0 = audio only, 1 = expression (VASA) only, 2 = audio + expression.
+
+Checkpoints: if the configured paths exist they are converted and loaded; if
+absent (this environment ships no weights) the CLI can still exercise the
+whole stack with --random-weights.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
+    import jax
+    import jax.numpy as jnp
+
+    from actalker_tpu.io import weights as W
+    from actalker_tpu.io.init import init_pipeline_params
+    from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
+
+    dtype = {"fp16": jnp.bfloat16, "bf16": jnp.bfloat16,
+             "fp32": jnp.float32}[cfg.weight_dtype]
+    modules = PipelineModules.create(dtype=dtype,
+                                     vasa_expression_dim=cfg.vasa_expression_dim)
+
+    def have(p):
+        return p and os.path.exists(p)
+
+    if not random_weights and have(cfg.unet_checkpoint_path):
+        params = {}
+        params["unet"] = W.convert_unet(
+            W.load_torch_state_dict(cfg.unet_checkpoint_path))
+        if have(cfg.adapter_module_checkpoint_path):
+            W.load_adapter_modules(
+                params["unet"],
+                W.load_torch_state_dict(cfg.adapter_module_checkpoint_path))
+        params["pose_guider"] = W.convert_pose_guider(
+            W.load_torch_state_dict(cfg.pose_guider_checkpoint_path))
+        params["audio_proj"] = W.convert_audio_proj(
+            W.load_torch_state_dict(cfg.audio_linear_checkpoint_path))
+        params["id_proj"] = W.convert_id_proj(
+            W.load_torch_state_dict(cfg.id_proj_checkpoint_path))
+        params["vasa_proj"] = W.convert_vasa_proj(
+            W.load_torch_state_dict(cfg.vasa_linear_checkpoint_path))
+        vae_path = os.path.join(cfg.pretrained_model_name_or_path, "vae",
+                                "diffusion_pytorch_model.fp16.safetensors")
+        params["vae"] = W.convert_vae(W.load_torch_state_dict(vae_path))
+        wsp = os.path.join(cfg.whisper_model, "pytorch_model.bin")
+        params["whisper"] = W.convert_whisper_encoder(
+            W.load_torch_state_dict(wsp))
+    else:
+        print("[actalker_tpu] using random weights "
+              "(no checkpoints found or --random-weights)")
+        params = init_pipeline_params(
+            modules, jax.random.PRNGKey(0), image_size=image_hw,
+            latent_size=latent_hw, use_eval_shape=True,
+        )
+    return ACTalkerPipeline(modules, params, dtype=dtype)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--ref", type=str, required=True)
+    parser.add_argument("--audio", type=str, required=True)
+    parser.add_argument("--video", type=str, default=None)
+    parser.add_argument("--mode", type=int, default=0,
+                        help="0: audio, 1: vasa, 2: both")
+    parser.add_argument("--random-weights", action="store_true")
+    parser.add_argument("--frame-limit", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from actalker_tpu.config import InferenceConfig, MODE_GATES
+    from actalker_tpu.frontend import audio as A
+    from actalker_tpu.frontend import preprocess as P
+    from actalker_tpu.frontend import video as V
+
+    cfg = InferenceConfig.from_yaml(args.config)
+    gate = MODE_GATES[args.mode]
+    t0 = time.time()
+
+    from PIL import Image
+
+    ref_rgb = np.asarray(Image.open(args.ref).convert("RGB"))
+    pre = P.preprocess_reference_image(
+        ref_rgb, None, image_size=cfg.image_size, area=cfg.area,
+        crop=cfg.crop, expand_ratio=cfg.expand_ratio,
+        aspect_type=cfg.aspect_type,
+    )
+    h, w = pre.ref_img.shape[:2]
+    print(f"ref {h}x{w}")
+
+    mel, audio_len = A.whisper_features(args.audio)
+    limit = args.frame_limit or cfg.frame_num
+    num_frames = min(limit, audio_len) // cfg.step
+
+    pipe = build_pipeline(cfg, args.mode, args.random_weights,
+                          latent_hw=(h // 8, w // 8), image_hw=(h, w))
+
+    # whisper windows -> per-frame tokens
+    feats = []
+    for i in range(0, mel.shape[-1], 3000):
+        feats.append(np.asarray(
+            pipe.encode_audio_windows(jnp.asarray(mel[None, :, i:i + 3000]))
+        )[0])
+    feats = np.concatenate(feats, axis=0)[: audio_len * 2]
+    feats = np.concatenate(
+        [np.zeros_like(feats[:4]), feats, np.zeros_like(feats[:6])], axis=0
+    )
+    audio_tok, audio_unc = pipe.audio_tokens_per_frame(
+        feats, num_frames, step=cfg.step
+    )
+
+    # VASA tokens from the driving video (modes 1/2)
+    if args.mode != 0 and args.video:
+        from actalker_tpu.models.vasa import HeadExpression, HeadPose
+
+        frames = V.read_frames(args.video, limit=num_frames * cfg.step)
+        crops = np.stack([
+            P.resize_image(f, (256, 256)).astype(np.float32) / 255.0
+            for f in frames
+        ])
+        # expression/pose encoders need converted VASA weights; random
+        # fallback mirrors --random-weights
+        print("[actalker_tpu] VASA towers not yet loaded from checkpoint; "
+              "using zeros (mode degraded to audio-only conditioning)")
+        vasa_tok, vasa_unc = pipe.vasa_tokens(None, None, num_frames,
+                                              cfg.vasa_expression_dim)
+    else:
+        vasa_tok, vasa_unc = pipe.vasa_tokens(None, None, num_frames,
+                                              cfg.vasa_expression_dim)
+
+    pose_imgs = np.repeat(pre.pose_img[None], num_frames, axis=0)
+    scfg = cfg.sampler_config(gate)
+    latents = pipe.generate_latents(
+        pre.ref_img, np.zeros(512, np.float32), audio_tok, audio_unc,
+        vasa_tok, vasa_unc, pose_imgs, scfg, seed=cfg.seed or 0,
+    )
+    frames = pipe.decode_latents(latents, cfg.decode_chunk_size)
+    frames01 = np.clip(frames * 0.5 + 0.5, 0, 1)
+
+    out_dir = os.path.join(cfg.output_dir, cfg.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.basename(args.ref)
+    out = os.path.join(out_dir, f"{base}.mp4")
+    V.write_video(out, frames01, fps=cfg.fps)
+    out_audio = os.path.join(out_dir, f"{base}_audio.mp4")
+    V.write_video(out_audio, frames01, fps=cfg.fps, audio_path=args.audio)
+    print(f"wrote {out_audio} ({num_frames} frames) in "
+          f"{time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""YAML config system preserving the reference's public config surface.
+
+The reference drives inference from an OmegaConf YAML
+(``config/inference.yaml``; loaded at ``Inference.py:607-610``) whose keys
+double as ablation switches. This loader accepts the same YAML and maps it
+onto the framework's typed configs; unknown keys are preserved in ``extras``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+from actalker_tpu.pipeline.sampler import SamplerConfig
+
+
+@dataclasses.dataclass
+class InferenceConfig:
+    # sampling
+    num_inference_steps: int = 25
+    fps: float = 12.5
+    decode_chunk_size: int = 10
+    motion_bucket_id: float = 12
+    motion_bucket_id_exp: float = 20
+    image_size: int = 576
+    area: float = 1.2
+    frame_num: int = 500
+    step: int = 2
+    overlap: int = 0
+    shift_offset: int = 7
+    n_sample_frames: int = 25
+    min_appearance_guidance_scale: float = 2.0
+    max_appearance_guidance_scale: float = 2.0
+    audio_guidance_scale: float = 7.5
+    vasa_guidance_scale: float = 3.0
+    i2i_noise_strength: float = 1.0
+    noise_aug_strength: float = 0.0
+    ip_audio_scale: float = 1.25
+    vasa_expression_dim: int = 1018
+    crop: bool = False
+    expand_ratio: float = 0.9
+    aspect_type: str = "9:16"
+    use_bfr: bool = False
+    use_interframe: bool = False
+    use_teeth_enhance: bool = False
+    seed: Optional[int] = 72589
+    weight_dtype: str = "bf16"
+    # paths
+    pretrained_model_name_or_path: str = ""
+    unet_checkpoint_path: str = ""
+    pose_guider_checkpoint_path: str = ""
+    audio_linear_checkpoint_path: str = ""
+    adapter_module_checkpoint_path: str = ""
+    id_proj_checkpoint_path: str = ""
+    vasa_linear_checkpoint_path: str = ""
+    vasa_checkpoint_path: str = ""
+    whisper_model: str = ""
+    output_dir: str = "exp_output"
+    exp_name: str = "actalker_tpu"
+    extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "InferenceConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "InferenceConfig":
+        raw = dict(raw)
+        # nested reference keys
+        data = raw.pop("data", {}) or {}
+        if "n_sample_frames" in data:
+            raw["n_sample_frames"] = data["n_sample_frames"]
+        model_paths = raw.pop("model_paths", {}) or {}
+        if "whisper_model" in model_paths:
+            raw["whisper_model"] = model_paths["whisper_model"]
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in fields}
+        extras = {k: v for k, v in raw.items() if k not in fields}
+        cfg = cls(**kwargs)
+        cfg.extras = extras
+        return cfg
+
+    def sampler_config(self, gate: Tuple[int, int]) -> SamplerConfig:
+        return SamplerConfig(
+            num_inference_steps=self.num_inference_steps,
+            frames_per_batch=self.n_sample_frames,
+            overlap=self.overlap,
+            shift_offset=self.shift_offset,
+            fps=self.fps,
+            motion_bucket_id=self.motion_bucket_id,
+            motion_bucket_id_exp=self.motion_bucket_id_exp,
+            noise_aug_strength=self.noise_aug_strength,
+            min_guidance1=self.min_appearance_guidance_scale,
+            max_guidance1=self.max_appearance_guidance_scale,
+            guidance2=self.audio_guidance_scale,
+            guidance3=self.vasa_guidance_scale,
+            i2i_noise_strength=self.i2i_noise_strength,
+            gate=gate,
+        )
+
+
+MODE_GATES = {0: (1, 0), 1: (0, 1), 2: (1, 1), 3: (1, 1)}

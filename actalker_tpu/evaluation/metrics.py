@@ -1,0 +1,152 @@
+"""Quality-metric harness (TPU-native counterpart of the reference ``eval/``
+tree, SURVEY.md section 2.9).
+
+Weight-free metrics (PSNR / SSIM / L1) are computed directly; distribution
+metrics take pluggable feature extractors so any embedding tower (InceptionV3
+for FID — ``eval/eval_fid.py:42-99``; I3D for FVD —
+``utils/video_level_evaluation.py:104-133``; VGGFace2/ArcFace for identity
+cosine — ``eval/evaluation_faceid.py:181-266``) can be dropped in once its
+weights are converted. The Frechet distance itself is exact (numpy/scipy-free
+Newton-Schulz sqrtm).
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import numpy as np
+
+
+# ------------------------------------------------------------ pixel metrics
+
+def l1(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.mean(np.abs(a.astype(np.float64) - b.astype(np.float64))))
+
+
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range**2 / mse))
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
+    """Global (non-windowed) SSIM — fast sanity metric over (H, W[, C])."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_a, mu_b = a.mean(), b.mean()
+    va, vb = a.var(), b.var()
+    cov = ((a - mu_a) * (b - mu_b)).mean()
+    return float(
+        ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+        / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2))
+    )
+
+
+# ----------------------------------------------------------- distributions
+
+def activation_statistics(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, D) features -> (mu, sigma)."""
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, sigma
+
+
+def _sqrtm_psd(mat: np.ndarray, iters: int = 30) -> np.ndarray:
+    """Matrix square root of a PSD matrix via eigendecomposition."""
+    vals, vecs = np.linalg.eigh(mat)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals)[None]) @ vecs.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID between two Gaussians (semantics of ``eval_fid.py:42-99``)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    # sqrtm(sigma1 @ sigma2) via the symmetric-form trick:
+    s1h = _sqrtm_psd(sigma1 + eps * np.eye(len(sigma1)))
+    inner = s1h @ sigma2 @ s1h
+    covmean = _sqrtm_psd(inner + eps * np.eye(len(sigma1)))
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.trace(covmean))
+
+
+def fid(
+    real_frames: Iterable[np.ndarray],
+    fake_frames: Iterable[np.ndarray],
+    feature_fn: Callable[[np.ndarray], np.ndarray],
+    batch: int = 32,
+) -> float:
+    """FID over frame iterables with a pluggable feature extractor."""
+
+    def stats(frames):
+        feats = []
+        buf = []
+        for f in frames:
+            buf.append(f)
+            if len(buf) == batch:
+                feats.append(np.asarray(feature_fn(np.stack(buf))))
+                buf = []
+        if buf:
+            feats.append(np.asarray(feature_fn(np.stack(buf))))
+        return activation_statistics(np.concatenate(feats, axis=0))
+
+    mu1, s1 = stats(real_frames)
+    mu2, s2 = stats(fake_frames)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def fvd(real_clips: np.ndarray, fake_clips: np.ndarray,
+        video_feature_fn: Callable[[np.ndarray], np.ndarray]) -> float:
+    """Frechet video distance given an I3D-style clip embedder."""
+    f1 = np.asarray(video_feature_fn(real_clips))
+    f2 = np.asarray(video_feature_fn(fake_clips))
+    return frechet_distance(*activation_statistics(f1),
+                            *activation_statistics(f2))
+
+
+# -------------------------------------------------------------- identity
+
+def identity_cosine(
+    ref_image: np.ndarray,
+    frames: np.ndarray,
+    embed_fn: Callable[[np.ndarray], np.ndarray],
+) -> float:
+    """Mean cosine similarity between the reference face embedding and each
+    generated frame's embedding (``evaluation_faceid.py:181-266``)."""
+    ref = np.asarray(embed_fn(ref_image[None]))[0]
+    emb = np.asarray(embed_fn(frames))
+    ref = ref / (np.linalg.norm(ref) + 1e-8)
+    emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+    return float(np.mean(emb @ ref))
+
+
+# ------------------------------------------------------------------ sync
+
+def sync_scores(
+    audio_emb: np.ndarray,   # (T, D) per-window audio embeddings
+    video_emb: np.ndarray,   # (T, D) per-window lip embeddings
+    vshift: int = 15,
+) -> Tuple[int, float, float]:
+    """SyncNet-style (offset, confidence=Sync-C, min distance=Sync-D) from
+    precomputed tower embeddings (``eval/sync/SyncNetInstance.py:42-148``):
+    slide the audio track +-vshift windows, compute mean pairwise L2 distance
+    per shift; offset = argmin, confidence = median(dist) - min(dist)."""
+    t = min(len(audio_emb), len(video_emb))
+    audio_emb, video_emb = audio_emb[:t], video_emb[:t]
+    dists = []
+    for shift in range(-vshift, vshift + 1):
+        a = audio_emb[max(0, shift): t + min(0, shift)]
+        v = video_emb[max(0, -shift): t - max(0, shift)]
+        n = min(len(a), len(v))
+        if n == 0:
+            dists.append(np.inf)
+            continue
+        dists.append(float(np.mean(np.linalg.norm(a[:n] - v[:n], axis=-1))))
+    dists = np.asarray(dists)
+    idx = int(np.argmin(dists))
+    offset = idx - vshift
+    conf = float(np.median(dists) - dists[idx])
+    return offset, conf, float(dists[idx])

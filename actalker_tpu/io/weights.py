@@ -1,0 +1,386 @@
+"""Torch checkpoint -> Flax param pytree conversion.
+
+Covers the reference's checkpoint artifact contract (``Inference.py:80-142``):
+diffusers SVD-XT ``unet``/``vae`` weights plus the six ACTalker state dicts
+(unet, pose_guider, audio_linear, adapter_module, id_proj_model, vasa_linear),
+the VASA ``MX31c_32k.ckpt`` (generator/pose_model sub-dicts) and HF whisper.
+
+Mechanics: torch tensors arrive as numpy via ``torch.load(map_location='cpu')``
+(the caller de-tensors them); name translation is rule-based:
+  * Linear  (out,in)        -> kernel (in,out)
+  * Conv2d  (o,i,kh,kw)     -> kernel (kh,kw,i,o)
+  * Conv3d  (o,i,kt,kh,kw)  -> kernel (kt,kh,kw,i,o)
+  * Conv1d  (o,i,k)         -> kernel (k,i,o)
+  * LayerNorm/GroupNorm weight -> scale
+The UNet/VAE tables map diffusers module paths onto this framework's module
+names (see models/*.py for the naming).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Iterable, Mapping, Tuple
+
+import numpy as np
+
+
+def t_linear(w):
+    return np.transpose(w, (1, 0))
+
+
+def t_conv2d(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t_conv3d(w):
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def t_conv1d(w):
+    return np.transpose(w, (2, 1, 0))
+
+
+def set_in(tree: Dict, path: str, value) -> None:
+    parts = path.split("/")
+    for p in parts[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[parts[-1]] = value
+
+
+def _norm(dst: Dict, prefix: str, sd: Mapping, src: str) -> None:
+    set_in(dst, f"{prefix}/scale", np.asarray(sd[f"{src}.weight"]))
+    set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+
+
+def _linear(dst: Dict, prefix: str, sd: Mapping, src: str, bias=True) -> None:
+    set_in(dst, f"{prefix}/kernel", t_linear(np.asarray(sd[f"{src}.weight"])))
+    if bias and f"{src}.bias" in sd:
+        set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+
+
+def _conv2(dst: Dict, prefix: str, sd: Mapping, src: str) -> None:
+    set_in(dst, f"{prefix}/kernel", t_conv2d(np.asarray(sd[f"{src}.weight"])))
+    if f"{src}.bias" in sd:
+        set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+
+
+def _conv3(dst: Dict, prefix: str, sd: Mapping, src: str) -> None:
+    set_in(dst, f"{prefix}/kernel", t_conv3d(np.asarray(sd[f"{src}.weight"])))
+    if f"{src}.bias" in sd:
+        set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+
+
+# ---------------------------------------------------------------- attention
+
+def _attention(dst, prefix, sd, src, num_adapters=0):
+    _linear(dst, f"{prefix}/to_q", sd, f"{src}.to_q")
+    _linear(dst, f"{prefix}/to_k", sd, f"{src}.to_k")
+    _linear(dst, f"{prefix}/to_v", sd, f"{src}.to_v")
+    _linear(dst, f"{prefix}/to_out", sd, f"{src}.to_out.0")
+    for i in range(num_adapters):
+        k = f"{src}.processor.to_k_ip.{i}.weight"
+        if k in sd:
+            set_in(dst, f"{prefix}/to_k_ip_{i}/kernel", t_linear(np.asarray(sd[k])))
+            set_in(dst, f"{prefix}/to_v_ip_{i}/kernel",
+                   t_linear(np.asarray(sd[f"{src}.processor.to_v_ip.{i}.weight"])))
+
+
+def _feedforward(dst, prefix, sd, src):
+    _linear(dst, f"{prefix}/proj_in", sd, f"{src}.net.0.proj")
+    _linear(dst, f"{prefix}/proj_out", sd, f"{src}.net.2")
+
+
+def _basic_block(dst, prefix, sd, src, num_adapters=2):
+    _norm(dst, f"{prefix}/norm1", sd, f"{src}.norm1")
+    _attention(dst, f"{prefix}/attn1", sd, f"{src}.attn1")
+    _norm(dst, f"{prefix}/norm2", sd, f"{src}.norm2")
+    _attention(dst, f"{prefix}/attn2", sd, f"{src}.attn2", num_adapters)
+    _norm(dst, f"{prefix}/norm3", sd, f"{src}.norm3")
+    _feedforward(dst, f"{prefix}/ff", sd, f"{src}.ff")
+
+
+def _temporal_block(dst, prefix, sd, src, num_adapters=2):
+    _norm(dst, f"{prefix}/norm_in", sd, f"{src}.norm_in")
+    _feedforward(dst, f"{prefix}/ff_in", sd, f"{src}.ff_in")
+    _norm(dst, f"{prefix}/norm1", sd, f"{src}.norm1")
+    _attention(dst, f"{prefix}/attn1", sd, f"{src}.attn1")
+    _norm(dst, f"{prefix}/norm2", sd, f"{src}.norm2")
+    _attention(dst, f"{prefix}/attn2", sd, f"{src}.attn2", num_adapters)
+    _norm(dst, f"{prefix}/norm3", sd, f"{src}.norm3")
+    _feedforward(dst, f"{prefix}/ff", sd, f"{src}.ff")
+
+
+def _ssm_unit(dst, prefix, sd, src):
+    for name in ("x_proj_weight", "dt_projs_weight", "dt_projs_bias",
+                 "A_logs", "Ds"):
+        set_in(dst, f"{prefix}/{name}", np.asarray(sd[f"{src}.{name}"]))
+
+
+def _mamba_v10(dst, prefix, sd, src):
+    for p in ("in_proj1", "in_proj2", "audio_proj", "exp_proj", "id_proj",
+              "out_proj"):
+        _linear(dst, f"{prefix}/{p}", sd, f"{src}.{p}")
+    _norm(dst, f"{prefix}/out_norm", sd, f"{src}.out_norm")
+    _ssm_unit(dst, f"{prefix}/audio_unit", sd, f"{src}.audio_unit")
+    _ssm_unit(dst, f"{prefix}/exp_unit", sd, f"{src}.exp_unit")
+
+
+def _resnet2d(dst, prefix, sd, src, temb=True):
+    _norm(dst, f"{prefix}/norm1", sd, f"{src}.norm1")
+    _conv2(dst, f"{prefix}/conv1", sd, f"{src}.conv1")
+    if temb and f"{src}.time_emb_proj.weight" in sd:
+        _linear(dst, f"{prefix}/time_emb_proj", sd, f"{src}.time_emb_proj")
+    _norm(dst, f"{prefix}/norm2", sd, f"{src}.norm2")
+    _conv2(dst, f"{prefix}/conv2", sd, f"{src}.conv2")
+    if f"{src}.conv_shortcut.weight" in sd:
+        _conv2(dst, f"{prefix}/conv_shortcut", sd, f"{src}.conv_shortcut")
+
+
+def _resnet_temporal(dst, prefix, sd, src):
+    _norm(dst, f"{prefix}/norm1", sd, f"{src}.norm1")
+    _conv3(dst, f"{prefix}/conv1", sd, f"{src}.conv1")
+    if f"{src}.time_emb_proj.weight" in sd:
+        _linear(dst, f"{prefix}/time_emb_proj", sd, f"{src}.time_emb_proj")
+    _norm(dst, f"{prefix}/norm2", sd, f"{src}.norm2")
+    _conv3(dst, f"{prefix}/conv2", sd, f"{src}.conv2")
+    if f"{src}.conv_shortcut.weight" in sd:
+        _conv3(dst, f"{prefix}/conv_shortcut", sd, f"{src}.conv_shortcut")
+
+
+def _st_resblock(dst, prefix, sd, src):
+    _resnet2d(dst, f"{prefix}/spatial_res_block", sd, f"{src}.spatial_res_block")
+    _resnet_temporal(dst, f"{prefix}/temporal_res_block", sd,
+                     f"{src}.temporal_res_block")
+    set_in(dst, f"{prefix}/time_mixer/mix_factor",
+           np.asarray(sd[f"{src}.time_mixer.mix_factor"]))
+
+
+def _transformer_st(dst, prefix, sd, src, num_layers=1, mamba=True):
+    _norm(dst, f"{prefix}/norm", sd, f"{src}.norm")
+    _linear(dst, f"{prefix}/proj_in", sd, f"{src}.proj_in")
+    _linear(dst, f"{prefix}/proj_out", sd, f"{src}.proj_out")
+    _linear(dst, f"{prefix}/time_pos_embed/linear_1", sd,
+            f"{src}.time_pos_embed.linear_1")
+    _linear(dst, f"{prefix}/time_pos_embed/linear_2", sd,
+            f"{src}.time_pos_embed.linear_2")
+    for i in range(num_layers):
+        _basic_block(dst, f"{prefix}/block_{i}", sd,
+                     f"{src}.transformer_blocks.{i}")
+        if mamba and f"{src}.mamba_blocks.{i}.in_proj1.weight" in sd:
+            _mamba_v10(dst, f"{prefix}/mamba_{i}", sd, f"{src}.mamba_blocks.{i}")
+        _temporal_block(dst, f"{prefix}/temporal_block_{i}", sd,
+                        f"{src}.temporal_transformer_blocks.{i}")
+        # reference shares one time_mixer across layers (num_layers == 1)
+        set_in(dst, f"{prefix}/time_mixer_{i}/mix_factor",
+               np.asarray(sd[f"{src}.time_mixer.mix_factor"]))
+
+
+def convert_unet(sd: Mapping[str, np.ndarray],
+                 down_block_types=("cross", "cross", "cross", "plain"),
+                 up_block_types=("plain", "cross", "cross", "cross"),
+                 layers_per_block=2) -> Dict:
+    """diffusers/ACTalker UNet state dict -> params for
+    ``UNetSpatioTemporalCondition``."""
+    dst: Dict = {}
+    _conv2(dst, "conv_in", sd, "conv_in")
+    for mod in ("time_embedding", "add_embedding"):
+        _linear(dst, f"{mod}/linear_1", sd, f"{mod}.linear_1")
+        _linear(dst, f"{mod}/linear_2", sd, f"{mod}.linear_2")
+    for i, kind in enumerate(down_block_types):
+        base = f"down_blocks.{i}"
+        out = f"down_blocks_{i}"
+        for j in range(layers_per_block):
+            _st_resblock(dst, f"{out}/resnet_{j}", sd, f"{base}.resnets.{j}")
+            if kind == "cross":
+                _transformer_st(dst, f"{out}/attention_{j}", sd,
+                                f"{base}.attentions.{j}")
+        if f"{base}.downsamplers.0.conv.weight" in sd:
+            _conv2(dst, f"{out}/downsampler/conv", sd,
+                   f"{base}.downsamplers.0.conv")
+    _st_resblock(dst, "mid_block/resnet_0", sd, "mid_block.resnets.0")
+    _st_resblock(dst, "mid_block/resnet_1", sd, "mid_block.resnets.1")
+    _transformer_st(dst, "mid_block/attention_0", sd, "mid_block.attentions.0",
+                    mamba=False)
+    for i, kind in enumerate(up_block_types):
+        base = f"up_blocks.{i}"
+        out = f"up_blocks_{i}"
+        for j in range(layers_per_block + 1):
+            _st_resblock(dst, f"{out}/resnet_{j}", sd, f"{base}.resnets.{j}")
+            if kind == "cross":
+                _transformer_st(dst, f"{out}/attention_{j}", sd,
+                                f"{base}.attentions.{j}")
+        if f"{base}.upsamplers.0.conv.weight" in sd:
+            _conv2(dst, f"{out}/upsampler/conv", sd, f"{base}.upsamplers.0.conv")
+    _norm(dst, "conv_norm_out", sd, "conv_norm_out")
+    _conv2(dst, "conv_out", sd, "conv_out")
+    return {"params": dst}
+
+
+def ip_adapter_attn2_paths(down_block_types=("cross", "cross", "cross", "plain"),
+                           up_block_types=("plain", "cross", "cross", "cross"),
+                           layers_per_block=2) -> list:
+    """Ordered list of attn2 param paths matching torch's attn_processors
+    traversal order (named_children, registration order: down -> mid -> up;
+    within a transformer: spatial block then temporal block)."""
+    paths = []
+
+    def add_transformer(prefix):
+        paths.append(f"{prefix}/block_0/attn2")
+        paths.append(f"{prefix}/temporal_block_0/attn2")
+
+    for i, kind in enumerate(down_block_types):
+        if kind == "cross":
+            for j in range(layers_per_block):
+                add_transformer(f"down_blocks_{i}/attention_{j}")
+    add_transformer("mid_block/attention_0")
+    for i, kind in enumerate(up_block_types):
+        if kind == "cross":
+            for j in range(layers_per_block + 1):
+                add_transformer(f"up_blocks_{i}/attention_{j}")
+    return paths
+
+
+def load_adapter_modules(params: Dict, adapter_sd: Mapping[str, np.ndarray],
+                         **block_kwargs) -> None:
+    """Merge an ``adapter_module-*.pth`` state dict (ModuleList of IP
+    processors, keys ``{idx}.to_k_ip.{i}.weight``) into UNet params in place.
+
+    Mirrors ``load_adapter_states`` (reference
+    ``unet_spatio_temporal_condition.py:571-592``)."""
+    order = ip_adapter_attn2_paths(**block_kwargs)
+    tree = params["params"]
+    for key, val in adapter_sd.items():
+        m = re.match(r"(\d+)\.to_([kv])_ip\.(\d+)\.weight", key)
+        if not m:
+            continue
+        idx, kv, adapter = int(m.group(1)), m.group(2), int(m.group(3))
+        path = f"{order[idx]}/to_{kv}_ip_{adapter}/kernel"
+        set_in(tree, path, t_linear(np.asarray(val)))
+
+
+# ------------------------------------------------------------------ heads
+
+def convert_audio_proj(sd) -> Dict:
+    dst: Dict = {}
+    for p in ("proj1", "proj2", "proj3"):
+        _linear(dst, p, sd, p)
+    _norm(dst, "norm", sd, "norm")
+    return {"params": dst}
+
+
+def convert_id_proj(sd) -> Dict:
+    dst: Dict = {}
+    for p in ("proj1", "proj2", "proj3"):
+        _linear(dst, p, sd, p)
+    return {"params": dst}
+
+
+def convert_vasa_proj(sd) -> Dict:
+    dst: Dict = {}
+    _linear(dst, "proj1", sd, "proj1")
+    _norm(dst, "norm", sd, "norm")
+    return {"params": dst}
+
+
+def convert_pose_guider(sd) -> Dict:
+    dst: Dict = {}
+    _conv2(dst, "conv_in", sd, "conv_in")
+    i = 0
+    while f"blocks.{i}.weight" in sd:
+        _conv2(dst, f"blocks_{i}", sd, f"blocks.{i}")
+        i += 1
+    _conv2(dst, "conv_out", sd, "conv_out")
+    return {"params": dst}
+
+
+def convert_whisper_encoder(sd: Mapping[str, np.ndarray], layers=4) -> Dict:
+    """HF WhisperModel state dict (encoder.* keys) -> WhisperEncoder params."""
+    dst: Dict = {}
+    g = lambda k: np.asarray(sd[f"encoder.{k}"])  # noqa: E731
+    set_in(dst, "conv1/kernel", t_conv1d(g("conv1.weight")))
+    set_in(dst, "conv1/bias", g("conv1.bias"))
+    set_in(dst, "conv2/kernel", t_conv1d(g("conv2.weight")))
+    set_in(dst, "conv2/bias", g("conv2.bias"))
+    set_in(dst, "embed_positions", g("embed_positions.weight"))
+    for i in range(layers):
+        p = f"layers_{i}"
+        s = f"layers.{i}"
+        for ln in ("self_attn_layer_norm", "final_layer_norm"):
+            set_in(dst, f"{p}/{ln}/scale", g(f"{s}.{ln}.weight"))
+            set_in(dst, f"{p}/{ln}/bias", g(f"{s}.{ln}.bias"))
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            set_in(dst, f"{p}/{proj}/kernel",
+                   t_linear(g(f"{s}.self_attn.{proj}.weight")))
+            if f"encoder.{s}.self_attn.{proj}.bias" in sd:
+                set_in(dst, f"{p}/{proj}/bias", g(f"{s}.self_attn.{proj}.bias"))
+        for fc in ("fc1", "fc2"):
+            set_in(dst, f"{p}/{fc}/kernel", t_linear(g(f"{s}.{fc}.weight")))
+            set_in(dst, f"{p}/{fc}/bias", g(f"{s}.{fc}.bias"))
+    set_in(dst, "layer_norm/scale", g("layer_norm.weight"))
+    set_in(dst, "layer_norm/bias", g("layer_norm.bias"))
+    return {"params": dst}
+
+
+def convert_vae(sd: Mapping[str, np.ndarray], block_out_channels=(128, 256, 512, 512),
+                layers_per_block=2) -> Dict:
+    """diffusers AutoencoderKLTemporalDecoder state dict -> VAE params."""
+    dst: Dict = {}
+    n_levels = len(block_out_channels)
+    # encoder
+    _conv2(dst, "encoder/conv_in", sd, "encoder.conv_in")
+    for i in range(n_levels):
+        for j in range(layers_per_block):
+            _resnet2d(dst, f"encoder/down_{i}_resnet_{j}", sd,
+                      f"encoder.down_blocks.{i}.resnets.{j}", temb=False)
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            _conv2(dst, f"encoder/down_{i}_downsample", sd,
+                   f"encoder.down_blocks.{i}.downsamplers.0.conv")
+    _resnet2d(dst, "encoder/mid_resnet_0", sd,
+              "encoder.mid_block.resnets.0", temb=False)
+    _resnet2d(dst, "encoder/mid_resnet_1", sd,
+              "encoder.mid_block.resnets.1", temb=False)
+    att = "encoder.mid_block.attentions.0"
+    _norm(dst, "encoder/mid_attn/group_norm", sd, f"{att}.group_norm")
+    _linear(dst, "encoder/mid_attn/to_q", sd, f"{att}.to_q")
+    _linear(dst, "encoder/mid_attn/to_k", sd, f"{att}.to_k")
+    _linear(dst, "encoder/mid_attn/to_v", sd, f"{att}.to_v")
+    _linear(dst, "encoder/mid_attn/to_out", sd, f"{att}.to_out.0")
+    _norm(dst, "encoder/conv_norm_out", sd, "encoder.conv_norm_out")
+    _conv2(dst, "encoder/conv_out", sd, "encoder.conv_out")
+    _conv2(dst, "quant_conv", sd, "quant_conv")
+    # temporal decoder
+    _conv2(dst, "decoder/conv_in", sd, "decoder.conv_in")
+    for j in range(layers_per_block):
+        _st_resblock(dst, f"decoder/mid_resnet_{j}", sd,
+                     f"decoder.mid_block.resnets.{j}")
+    datt = "decoder.mid_block.attentions.0"
+    _norm(dst, "decoder/mid_attn/group_norm", sd, f"{datt}.group_norm")
+    _linear(dst, "decoder/mid_attn/to_q", sd, f"{datt}.to_q")
+    _linear(dst, "decoder/mid_attn/to_k", sd, f"{datt}.to_k")
+    _linear(dst, "decoder/mid_attn/to_v", sd, f"{datt}.to_v")
+    _linear(dst, "decoder/mid_attn/to_out", sd, f"{datt}.to_out.0")
+    for i in range(n_levels):
+        for j in range(layers_per_block + 1):
+            _st_resblock(dst, f"decoder/up_{i}_resnet_{j}", sd,
+                         f"decoder.up_blocks.{i}.resnets.{j}")
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            _conv2(dst, f"decoder/up_{i}_upsample/conv", sd,
+                   f"decoder.up_blocks.{i}.upsamplers.0.conv")
+    _norm(dst, "decoder/conv_norm_out", sd, "decoder.conv_norm_out")
+    _conv2(dst, "decoder/conv_out", sd, "decoder.conv_out")
+    _conv3(dst, "decoder/time_conv_out", sd, "decoder.time_conv_out")
+    return {"params": dst}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.safetensors file into numpy (host-side)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}

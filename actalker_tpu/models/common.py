@@ -19,7 +19,8 @@ Dtype = Any
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm with fp32 statistics regardless of compute dtype."""
+    """GroupNorm over the channel-last axis with fp32 statistics regardless of
+    compute dtype. Params are flat ('scale'/'bias') for converter simplicity."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -28,31 +29,37 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        groups = self.num_groups if x.shape[-1] >= self.num_groups else x.shape[-1]
-        y = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        c = x.shape[-1]
+        groups = self.num_groups if c >= self.num_groups else c
+        assert c % groups == 0, (c, groups)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        import numpy as _np
+
+        spatial = int(_np.prod(shape[1:-1])) if len(shape) > 2 else 1
+        xg = xf.reshape(-1, spatial, groups, c // groups)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = xg.reshape(shape) * scale + bias
         return y.astype(orig_dtype)
 
 
 class LayerNormF32(nn.Module):
     epsilon: float = 1e-5
-    use_scale: bool = True
-    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        y = nn.LayerNorm(
-            epsilon=self.epsilon,
-            use_scale=self.use_scale,
-            use_bias=self.use_bias,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         return y.astype(orig_dtype)
 
 

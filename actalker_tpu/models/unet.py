@@ -69,6 +69,23 @@ class UNetConfig:
             layers_per_block=1,
         )
 
+    def micro(self) -> "UNetConfig":
+        """A 2-level config for compile-heavy multi-device tests."""
+        return dataclasses.replace(
+            self,
+            block_out_channels=(32, 64),
+            num_attention_heads=(2, 4),
+            down_block_types=(
+                "CrossAttnDownBlockSpatioTemporal",
+                "DownBlockSpatioTemporal",
+            ),
+            up_block_types=(
+                "UpBlockSpatioTemporal",
+                "CrossAttnUpBlockSpatioTemporal",
+            ),
+            layers_per_block=1,
+        )
+
 
 class UNetSpatioTemporalCondition(nn.Module):
     config: UNetConfig

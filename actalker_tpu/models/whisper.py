@@ -82,10 +82,10 @@ class WhisperEncoder(nn.Module):
             x = WhisperEncoderLayer(self.cfg, dtype=self.dtype,
                                     name=f"layers_{i}")(x)
             states.append(x)
-        # HF's .hidden_states are the *raw* layer outputs (the final LN is
-        # only applied to last_hidden_state, which the pipeline doesn't use) —
-        # but we still instantiate the LN so checkpoints load completely.
-        _ = LayerNormF32(name="layer_norm")(x)
+        # HF's .hidden_states: raw outputs per layer EXCEPT the final entry,
+        # which is post-final-LayerNorm (WhisperEncoder.forward appends after
+        # the loop's layer_norm).
+        states[-1] = LayerNormF32(name="layer_norm")(x)
         return jnp.stack(states, axis=2)
 
 

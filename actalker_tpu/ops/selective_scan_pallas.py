@@ -122,7 +122,11 @@ def ssm_scan(
     dp = _round_up(d, 128)
     bp = _round_up(b, _BT)
     np_ = _round_up(n, 128)  # B/C storage minor dim (lane dim)
-    lc = min(lc, _round_up(l, 8))
+    # Fit the two (lc, 8, N*Dp) fp32 scratch buffers in ~10 MB of VMEM
+    # (v5e has 16 MB/core; the rest goes to pipelined in/out blocks).
+    budget = 10 * 2**20
+    lc_fit = max(2, budget // (2 * _BT * n * dp * 4))
+    lc = max(1, min(lc, lc_fit, _round_up(l, 8)))
     lp = _round_up(l, lc)
 
     # Arrange to (L, B, D) with padding. Batch pad rows are harmless garbage

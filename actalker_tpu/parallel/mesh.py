@@ -1,0 +1,103 @@
+"""Device mesh + sharding rules.
+
+TPU-native replacement for the reference's distributed story (accelerate +
+DeepSpeed ZeRO-2 over NCCL, ``ds_zero2_8gpu.yaml``; FSDP named in
+``config/train.yaml:34``): one ``jax.sharding.Mesh`` with axes
+
+    dp — data parallel (batch / window / CFG-branch axis; gradient psum)
+    tp — tensor parallel (attention heads / MLP hidden / conv channels)
+
+Parameters are sharded by path-based rules (GSPMD propagates activation
+shardings and inserts ICI collectives); optimizer state inherits the param
+sharding and is additionally sharded over dp on the largest axis (ZeRO-like).
+A 1-device mesh is the degenerate case used on the single bench chip.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, dp: Optional[int] = None, tp: int = 1) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# Path-regex -> PartitionSpec for the weight matrices worth sharding over tp.
+# Flax Dense kernels are (in, out); Conv kernels (kh, kw, in, out).
+_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # attention input projections: shard heads (output dim)
+    (r"(to_q|to_k|to_v|to_k_ip_\d|to_v_ip_\d|q_proj|k_proj|v_proj)/kernel$",
+     P(None, "tp")),
+    # attention output projection: shard input dim (row-parallel)
+    (r"(to_out|out_proj)/kernel$", P("tp", None)),
+    # GEGLU / MLP: column-parallel in, row-parallel out
+    (r"(ff|ff_in)/proj_in/kernel$", P(None, "tp")),
+    (r"(ff|ff_in)/proj_out/kernel$", P("tp", None)),
+    (r"(fc1|proj1|proj2)/kernel$", P(None, "tp")),
+    (r"(fc2|proj3)/kernel$", P("tp", None)),
+    # SSM unit projections: shard d_inner
+    (r"(in_proj\d|audio_proj|exp_proj|id_proj)/kernel$", P(None, "tp")),
+    (r"x_proj_weight$", P(None, None, "tp")),
+    (r"dt_projs_weight$", P(None, "tp", None)),
+    # big convolutions: shard output channels
+    (r"conv\d?/kernel$", P(None, None, None, "tp")),
+)
+
+
+def param_pspec(path: str, shape: Tuple[int, ...], min_size: int = 2**14) -> P:
+    """PartitionSpec for one parameter by its flattened path."""
+    if int(np.prod(shape)) < min_size:
+        return P()
+    for pat, spec in _TP_RULES:
+        if re.search(pat, path):
+            if len(spec) <= len(shape):
+                # verify divisibility is left to the caller's mesh shape; GSPMD
+                # requires even shards, so fall back to replicated if not.
+                return spec
+    return P()
+
+
+def tree_path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def shard_params(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
+    """Apply tp sharding rules to a params pytree (replicates the rest)."""
+
+    def assign(path, x):
+        spec = param_pspec(tree_path_str(path), x.shape, min_size)
+        # drop specs that don't divide evenly
+        ok = []
+        for axis, name in enumerate(spec):
+            if name is None:
+                ok.append(None)
+            else:
+                size = mesh.shape[name]
+                ok.append(name if x.shape[axis] % size == 0 else None)
+        spec = P(*ok) if any(a is not None for a in ok) else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_batch(tree: Any, mesh: Mesh) -> Any:
+    """Shard leading axis of every array over dp (replicate scalars)."""
+
+    def assign(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.shape["dp"] == 0:
+            return jax.device_put(
+                x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+            )
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(assign, tree)

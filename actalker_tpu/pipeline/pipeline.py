@@ -1,0 +1,229 @@
+"""End-to-end talking-head generation pipeline (host orchestration).
+
+The TPU-native counterpart of the reference's ``Pose2VideoLongSVDPipeline`` +
+``Inference.py:test()`` glue: owns the model modules and parameters, encodes
+conditioning (Whisper windows -> audio tokens, ArcFace -> id token, VASA ->
+expression token, PoseGuider -> spatial features, VAE -> ref latents), builds
+the per-frame ring buffers, invokes the jitted sliding-window sampler, and
+decodes latents chunk-wise.
+
+Conditioning buffer semantics follow the reference exactly
+(``pipeline_svd_...two_ip.py:494-575`` and ``Inference.py:403-594``):
+  * audio buffer = per-frame 32 tokens; positions past ``num_frames`` hold
+    the unconditional tokens (reference pads with ``uncond[:1]``);
+  * vasa token = [vasa_linear(expr), rot, 0*trans] -> 1024-d; uncond =
+    vasa_linear(zeros) padded with zero pose dims;
+  * masks: all-ones at inference (the reference overrides them,
+    ``Inference.py:545-546``); region gating happens via the gate table.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from actalker_tpu.models.conditioning import Conditioning
+from actalker_tpu.models.pose_guider import PoseGuider
+from actalker_tpu.models.projections import AudioProjModel, IDProjModel, VasaProjModel
+from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
+from actalker_tpu.models.vae import AutoencoderKLTemporalDecoder, VAEConfig
+from actalker_tpu.models.whisper import WhisperEncoder
+from actalker_tpu.pipeline.sampler import (
+    CondBuffers,
+    SamplerConfig,
+    make_plan,
+    sample_video,
+)
+
+
+@dataclasses.dataclass
+class PipelineModules:
+    unet: UNetSpatioTemporalCondition
+    vae: AutoencoderKLTemporalDecoder
+    audio_proj: AudioProjModel
+    id_proj: IDProjModel
+    vasa_proj: VasaProjModel
+    pose_guider: PoseGuider
+    whisper: WhisperEncoder
+
+    @classmethod
+    def create(cls, unet_config: Optional[UNetConfig] = None,
+               vae_config: Optional[VAEConfig] = None,
+               dtype=jnp.bfloat16, vasa_expression_dim: int = 1018):
+        return cls(
+            unet=UNetSpatioTemporalCondition(unet_config or UNetConfig(), dtype=dtype),
+            vae=AutoencoderKLTemporalDecoder(vae_config or VAEConfig(),
+                                             dtype=jnp.float32),
+            audio_proj=AudioProjModel(dtype=jnp.float32),
+            id_proj=IDProjModel(dtype=jnp.float32),
+            vasa_proj=VasaProjModel(output_dim=vasa_expression_dim,
+                                    dtype=jnp.float32),
+            pose_guider=PoseGuider(
+                embedding_channels=(unet_config or UNetConfig()).block_out_channels[0],
+                dtype=jnp.float32,
+            ),
+            whisper=WhisperEncoder(dtype=jnp.float32),
+        )
+
+
+class ACTalkerPipeline:
+    """params: dict with keys unet/vae/audio_proj/id_proj/vasa_proj/
+    pose_guider/whisper, each a flax variables dict."""
+
+    def __init__(self, modules: PipelineModules, params: Dict[str, Any],
+                 dtype=jnp.bfloat16):
+        self.m = modules
+        self.params = params
+        self.dtype = dtype
+
+    # ---------- conditioning encoders (host-called, jitted) ----------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def encode_audio_windows(self, mel: jax.Array) -> jax.Array:
+        """mel (B, 80, T) -> stacked whisper states (B, T//2, 5, 384)."""
+        return self.m.whisper.apply(self.params["whisper"], mel)
+
+    def audio_tokens_per_frame(self, audio_feats: np.ndarray, num_frames: int,
+                               step: int = 2) -> tuple[jax.Array, jax.Array]:
+        """Slice per-frame 10x5x384 windows and project to 32 tokens each.
+
+        ``audio_feats``: (T2, 5, 384) whisper states at 2 frames/video-frame,
+        already zero-padded 4 front / 6 back (reference ``Inference.py:461``).
+        Returns (cond, uncond) of shape (num_frames, 32, 1024).
+        """
+        windows = np.stack(
+            [audio_feats[i * 2 * step: i * 2 * step + 10] for i in range(num_frames)]
+        )  # (F, 10, 5, 384)
+        ap = self.m.audio_proj.apply(
+            self.params["audio_proj"], jnp.asarray(windows)[None]
+        )[0]  # (F, 32, 1024)
+        uncond = self.m.audio_proj.apply(
+            self.params["audio_proj"], jnp.zeros((1, 1, 10, 5, 384))
+        )[0, 0]  # (32, 1024)
+        uncond = jnp.broadcast_to(uncond[None], ap.shape)
+        return ap, uncond
+
+    def vasa_tokens(self, expr: Optional[np.ndarray], rot: Optional[np.ndarray],
+                    num_frames: int, vasa_dim: int = 1018):
+        """(F, 512) expression + (F, 3) rotation -> (F, 1, 1024) tokens.
+
+        Mode 0 (no driving video): zero tokens (reference dummy placeholders,
+        ``Inference.py:478-483``)."""
+        if expr is None:
+            tok = jnp.zeros((num_frames, 1, vasa_dim + 6), jnp.float32)
+            return tok, jnp.zeros_like(tok)
+        proj = self.m.vasa_proj.apply(self.params["vasa_proj"], jnp.asarray(expr))
+        pose = jnp.concatenate(
+            [jnp.asarray(rot), jnp.zeros_like(jnp.asarray(rot))], axis=-1
+        )  # rot, trans*0
+        cond = jnp.concatenate([proj, pose], axis=-1)[:, None, :]
+        unc = self.m.vasa_proj.apply(
+            self.params["vasa_proj"], jnp.zeros_like(jnp.asarray(expr))
+        )
+        uncond = jnp.concatenate([unc, jnp.zeros_like(pose)], axis=-1)[:, None, :]
+        return cond, uncond
+
+    # ---------- main generation ----------
+
+    def generate_latents(
+        self,
+        ref_image: np.ndarray,            # (H, W, 3) in [-1, 1]
+        id_embed: np.ndarray,             # (512,) ArcFace
+        audio_tokens: jax.Array,          # (F, 32, 1024)
+        uncond_audio_tokens: jax.Array,
+        vasa_tokens: jax.Array,           # (F, 1, 1024)
+        uncond_vasa_tokens: jax.Array,
+        pose_images: np.ndarray,          # (F, H, W, 3) in [0, 1]
+        config: SamplerConfig,
+        seed: int = 0,
+        audio_mask: Optional[np.ndarray] = None,   # (1, 1, H, W)
+        exp_mask: Optional[np.ndarray] = None,
+    ) -> jax.Array:
+        num_frames = audio_tokens.shape[0]
+        plan = make_plan(config, num_frames)
+        buf = plan.buffer_len
+        fpb = config.frames_per_batch
+        key = jax.random.PRNGKey(seed)
+
+        # VAE encodings (fp32, reference upcasts the VAE)
+        ref = jnp.asarray(ref_image, jnp.float32)[None]
+        ref_latent = self.m.vae.apply(
+            self.params["vae"], ref, method=AutoencoderKLTemporalDecoder.encode
+        )[0] * self.m.vae.config.scaling_factor
+        key, k_aug = jax.random.split(key)
+        ref_aug = ref + config.noise_aug_strength * jax.random.normal(
+            k_aug, ref.shape
+        )
+        image_latent = self.m.vae.apply(
+            self.params["vae"], ref_aug, method=AutoencoderKLTemporalDecoder.encode
+        )[0]  # unscaled (reference _encode_vae_image)
+
+        # identity tokens
+        id_tok = self.m.id_proj.apply(
+            self.params["id_proj"], jnp.asarray(id_embed, jnp.float32)[None]
+        )[None]  # (1, 1, 1024)
+
+        # pose guider features over the buffer (pose images tiled mod F)
+        pose_idx = np.arange(buf) % num_frames
+        pose = jnp.asarray(pose_images, jnp.float32)[pose_idx][None]
+        pose_fea = self.m.pose_guider.apply(self.params["pose_guider"], pose)[0]
+
+        def pad_to_buf(cond, uncond):
+            pad = jnp.broadcast_to(uncond[:1], (buf - cond.shape[0],) + cond.shape[1:])
+            return (jnp.concatenate([cond, pad], axis=0),
+                    jnp.concatenate([uncond, pad], axis=0))
+
+        audio_b, audio_u = pad_to_buf(audio_tokens, uncond_audio_tokens)
+        vasa_b, vasa_u = pad_to_buf(vasa_tokens, uncond_vasa_tokens)
+
+        hm, wm = ref_image.shape[:2]
+        ones = np.ones((1, 1, hm, wm), np.float32)
+        buffers = CondBuffers(
+            id_tokens=jnp.broadcast_to(id_tok[0], (buf, 1, id_tok.shape[-1])),
+            audio_tokens=audio_b,
+            audio_tokens_u=audio_u,
+            vasa_tokens=vasa_b,
+            vasa_tokens_u=vasa_u,
+            image_latents=jnp.broadcast_to(
+                image_latent, (buf,) + image_latent.shape
+            ),
+            pose_fea=pose_fea,
+            audio_mask=jnp.asarray(audio_mask if audio_mask is not None else ones),
+            exp_mask=jnp.asarray(exp_mask if exp_mask is not None else ones),
+        )
+
+        key, k_noise = jax.random.split(key)
+        run = jax.jit(
+            lambda p, bufs, ref, k: sample_video(
+                self.m.unet.apply, p, config, plan, bufs, ref, k,
+                dtype=self.dtype,
+            )
+        )
+        latents = run(self.params["unet"], buffers, ref_latent, k_noise)
+        return latents[:num_frames]
+
+    def decode_latents(self, latents: jax.Array, decode_chunk_size: int = 10
+                       ) -> np.ndarray:
+        """(F, h, w, 4) -> (F, H, W, 3) float32 in [-1, 1], chunked."""
+        scale = 1.0 / self.m.vae.config.scaling_factor
+        frames = []
+        decode = jax.jit(
+            lambda z: self.m.vae.apply(
+                self.params["vae"], z, method=AutoencoderKLTemporalDecoder.decode
+            )
+        )
+        n = latents.shape[0]
+        for i in range(0, n, decode_chunk_size):
+            chunk = latents[i: i + decode_chunk_size] * scale
+            pad = decode_chunk_size - chunk.shape[0]
+            if pad:  # keep a single compiled shape
+                chunk = jnp.concatenate(
+                    [chunk, jnp.broadcast_to(chunk[-1:], (pad,) + chunk.shape[1:])]
+                )
+            out = decode(chunk[None])[0]
+            frames.append(np.asarray(out[: decode_chunk_size - pad if pad else None]))
+        return np.concatenate(frames, axis=0)[:n]

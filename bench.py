@@ -1,0 +1,89 @@
+"""Benchmark: sec per denoise step of the flagship UNet on real TPU hardware.
+
+Workload: one sliding-window denoise step at the driver's bench config —
+512x512 pixels (64x64 latents), 14 frames, 4-way CFG — i.e. a UNet forward
+over a (4, 14, 64, 64, 8) batch with full conditioning (id + 32 audio tokens
++ vasa token, IP-adapter masks, PoseGuider features) and the Pallas selective
+scan in every cross-attention block, bf16.
+
+Baseline ("vs_baseline" > 1 means faster than the reference): the reference
+does ~6 min for its default clip on H100 (README.md:39): 25 steps x 21
+windows of (4 CFG x 25 frames x 72x72 latents) => 0.686 s per window-step;
+scaled to this bench shape by frames*pixels (14*64^2)/(25*72^2) => 0.303 s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+BASELINE_SEC_PER_STEP = 0.303  # H100 reference, scaled to bench shape
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from actalker_tpu.models.conditioning import Conditioning
+    from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
+
+    cfg = UNetConfig()
+    unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.bfloat16)
+    b, f, hw = 4, 14, 64
+    cond = Conditioning(
+        id_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
+        audio_tokens=jnp.zeros((b * f, 32, 1024), jnp.bfloat16),
+        vasa_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
+        audio_mask=jnp.ones((1, 1, 512, 512), jnp.float32),
+        exp_mask=jnp.ones((1, 1, 512, 512), jnp.float32),
+    )
+    sample0 = jnp.zeros((b, f, hw, hw, 8), jnp.bfloat16)
+    tids = jnp.zeros((b, 3), jnp.bfloat16)
+    pose = jnp.zeros((b, f, hw, hw, cfg.block_out_channels[0]), jnp.bfloat16)
+
+    shapes = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0), sample0, 0.5, cond, tids, pose
+    )
+    rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: (rng.standard_normal(s.shape, dtype=np.float32) * 0.02)
+        .astype(ml_dtypes.bfloat16),
+        shapes,
+    )
+    params = jax.device_put(params)
+
+    @jax.jit
+    def denoise_step(params, sample, pose):
+        out = unet.apply(params, sample, 0.5, cond, tids, pose)
+        # feed the prediction back into the latent half of the input so
+        # repeated calls form a dependency chain (correct TPU-tunnel timing).
+        nxt = jnp.concatenate([sample[..., :4] - 0.1 * out, sample[..., 4:]],
+                              axis=-1)
+        return nxt
+
+    sample = denoise_step(params, sample0, pose)  # compile + warm
+    sample.block_until_ready()
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        sample = denoise_step(params, sample, pose)
+    float(jnp.sum(sample.astype(jnp.float32)))  # full pipeline drain
+    dt = (time.time() - t0) / iters
+
+    print(json.dumps({
+        "metric": "sec_per_denoise_step_512px_14f_4cfg",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SEC_PER_STEP / dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Frontend tests: mel features vs HF WhisperFeatureExtractor, native DSP
+parity, mask construction, and the training data pipeline."""
+import numpy as np
+import pytest
+
+from actalker_tpu.frontend import audio as A
+from actalker_tpu.frontend import preprocess as P
+from actalker_tpu.training import data as D
+
+
+def test_log_mel_matches_hf_feature_extractor():
+    from transformers import WhisperFeatureExtractor
+
+    fe = WhisperFeatureExtractor()  # whisper defaults: 80 mels, 16 kHz
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    want = fe(audio, sampling_rate=16000, return_tensors="np").input_features[0]
+    got = A.log_mel_spectrogram(audio, use_native=False)
+    assert got.shape == want.shape == (80, 3000)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_native_mel_matches_numpy():
+    if A._native_lib() is None:
+        pytest.skip("native mel library not built")
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000 * 2) * 0.2).astype(np.float32)
+    a = A.log_mel_spectrogram(audio, use_native=False)
+    b = A.log_mel_spectrogram(audio, use_native=True)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_whisper_frame_count():
+    audio = np.zeros(16000, np.float32)  # 1 s
+    mel = A.log_mel_spectrogram(audio)
+    assert mel.shape == (80, 3000)  # padded to the 30 s chunk
+
+
+def test_preprocess_masks_and_sizes():
+    img = np.random.default_rng(0).integers(0, 255, (300, 400, 3), np.uint8)
+    pre = P.preprocess_reference_image(img, (100, 50, 300, 250),
+                                       image_size=128, area=1.2)
+    h, w = pre.ref_img.shape[:2]
+    assert h % 64 == 0 and w % 64 == 0
+    assert pre.ref_img.min() >= -1.0 and pre.ref_img.max() <= 1.0
+    assert pre.pose_img.max() > 0.9          # box present
+    assert pre.mouth_mask.sum() < pre.pose_img.sum()
+    assert pre.head_crop.shape == (112, 112, 3)
+    # exp mask == pose - mouth (upper half of the box)
+    np.testing.assert_allclose(
+        pre.exp_mask + pre.mouth_mask, pre.pose_img, atol=0.1)
+
+
+def test_bbox_helpers():
+    sq = P.process_bbox([10, 20, 110, 140], 0.5, 400, 400)
+    assert sq[2] - sq[0] == sq[3] - sq[1]  # square
+    box = P.get_bbox_by_aspect([0, 0, 100, 100], "1:1", 400, 400)
+    assert box == [0, 0, 100, 100]
+
+
+def test_dataset_pipeline():
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    # near-static clip: large frame-to-frame motion is rejected by the
+    # motion-bucket gate (faithful to the reference's resampling)
+    frames_store = np.clip(
+        base.astype(np.int32)
+        + rng.integers(-3, 3, (40, 64, 64, 3)), 0, 255
+    ).astype(np.uint8)
+
+    def frame_reader(path, idxs):
+        return frames_store[list(idxs)]
+
+    clips = [{
+        "video_path": "fake.mp4", "frames": 40,
+        "bboxes": [[10, 10, 50, 50]] * 40,
+        "landmarks": [[[20, 20], [30, 30]]] * 40,
+        "quality": 1.0,
+    }]
+    ds = D.PortraitAudioDataset(
+        clips, D.DataConfig(n_sample_frames=8, image_size=64),
+        frame_reader,
+    )
+    s = ds[0]
+    assert s["frames"].shape == (8, 64, 64, 3)
+    assert -1.01 <= s["frames"].min() and s["frames"].max() <= 1.01
+    assert s["pose_mask"].shape == (64, 64)
+    assert 0 <= s["motion_bucket"] <= 128
+
+
+def test_dataset_retry_on_bad_clip():
+    good = {"video_path": "g", "frames": 40,
+            "bboxes": [[0, 0, 30, 30]] * 40, "quality": 1.0}
+    bad = {"video_path": "b", "frames": 2, "bboxes": [[0, 0, 1, 1]] * 2,
+           "quality": 1.0}
+
+    def frame_reader(path, idxs):
+        if path == "b":
+            raise IOError("corrupt")
+        return np.zeros((len(idxs), 64, 64, 3), np.uint8)
+
+    ds = D.PortraitAudioDataset(
+        [bad, good], D.DataConfig(n_sample_frames=8, image_size=64),
+        frame_reader,
+    )
+    s = ds[0]  # falls through to the good clip
+    assert s["frames"].shape[0] == 8

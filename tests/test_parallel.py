@@ -1,0 +1,123 @@
+"""Multi-device (8 virtual CPU devices) sharding + trainer tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from actalker_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
+from actalker_tpu.models.conditioning import Conditioning
+from actalker_tpu.training import trainer as T
+from actalker_tpu.io.init import init_pipeline_params, random_like
+
+
+def test_mesh_shapes():
+    assert jax.device_count() == 8
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape["dp"] == 4 and mesh.shape["tp"] == 2
+
+
+def make_tiny_unet():
+    cfg = UNetConfig(scan_impl="blocked").micro()
+    unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.float32)
+    return unet, cfg
+
+
+def make_batch(b=4, f=2, hw=8, c0=32, d=1024):
+    r = np.random.default_rng(0)
+    g = lambda *s: jnp.asarray(r.standard_normal(s).astype(np.float32))
+    return T.TrainBatch(
+        latents=g(b, f, hw, hw, 4),
+        ref_latents=g(b, hw, hw, 4),
+        id_tokens=g(b, 1, d),
+        audio_tokens=g(b, f, 32, d),
+        vasa_tokens=g(b, f, 1, d),
+        pose_fea=g(b, f, hw, hw, c0),
+        audio_mask=jnp.ones((1, 1, hw, hw)),
+        exp_mask=jnp.ones((1, 1, hw, hw)),
+        motion_buckets=g(b, 2),
+        fps=g(b),
+    )
+
+
+def init_unet_params(unet, f=2, hw=8):
+    cond = Conditioning(
+        id_tokens=jnp.zeros((f, 1, 1024)),
+        audio_tokens=jnp.zeros((f, 32, 1024)),
+        vasa_tokens=jnp.zeros((f, 1, 1024)),
+        audio_mask=jnp.ones((1, 1, hw, hw)),
+        exp_mask=jnp.ones((1, 1, hw, hw)),
+    )
+    shapes = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0), jnp.zeros((1, f, hw, hw, 8)), 0.5,
+        cond, jnp.zeros((1, 3)),
+    )
+    return random_like(shapes)
+
+
+def test_sharded_train_step_runs_and_matches_single_device():
+    unet, _ = make_tiny_unet()
+    params = init_unet_params(unet)
+    tcfg = T.TrainConfig(grad_accum_steps=1, cond_dropout_prob=0.0)
+    tx = T.make_optimizer(tcfg)
+    step = T.make_train_step(unet.apply, tx, tcfg, dtype=jnp.float32)
+    batch = make_batch()
+    key = jax.random.PRNGKey(42)
+
+    # single-device reference
+    opt0 = tx.init(params)
+    p1, _, m1 = jax.jit(step)(params, opt0, batch, key)
+
+    # 4x2 mesh: dp-sharded batch, tp-sharded params
+    mesh = make_mesh(dp=4, tp=2)
+    with jax.set_mesh(mesh):
+        sp = shard_params(params, mesh, min_size=128)
+        sb = shard_batch(batch, mesh)
+        opt = tx.init(sp)
+        p2, _, m2 = jax.jit(step)(sp, opt, sb, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    # parameters after one step agree
+    l1 = jax.tree.leaves(p1)
+    l2 = jax.tree.leaves(p2)
+    for a, b in zip(l1[:10], l2[:10]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5)
+
+
+def test_param_sharding_rules_applied():
+    unet, _ = make_tiny_unet()
+    params = init_unet_params(unet)
+    mesh = make_mesh(dp=4, tp=2)
+    sp = shard_params(params, mesh, min_size=128)
+    flat = jax.tree_util.tree_flatten_with_path(sp)[0]
+    tp_sharded = 0
+    for path, leaf in flat:
+        spec = leaf.sharding.spec
+        if any(s == "tp" for s in spec):
+            tp_sharded += 1
+    assert tp_sharded > 10, f"only {tp_sharded} tp-sharded params"
+
+
+def test_grad_accumulation():
+    unet, _ = make_tiny_unet()
+    params = init_unet_params(unet)
+    tcfg = T.TrainConfig(grad_accum_steps=2, cond_dropout_prob=0.0)
+    tx = T.make_optimizer(tcfg)
+    step = jax.jit(T.make_train_step(unet.apply, tx, tcfg, dtype=jnp.float32))
+    batch = make_batch(b=2)
+    opt = tx.init(params)
+    p, opt, m = step(params, opt, batch, jax.random.PRNGKey(0))
+    # first micro-step: no param change yet
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(p)[0]),
+        np.asarray(jax.tree.leaves(params)[0]),
+    )
+    p, opt, m = step(p, opt, batch, jax.random.PRNGKey(1))
+    # second micro-step applies the update
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(p)[0]),
+        np.asarray(jax.tree.leaves(params)[0]),
+    )

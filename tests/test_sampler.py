@@ -1,0 +1,141 @@
+"""Sliding-window sampler tests: the jitted lax.scan loop must reproduce an
+independent numpy re-implementation of the reference's python window loop."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from actalker_tpu.diffusion import scheduler as sch
+from actalker_tpu.pipeline import sampler as S
+
+
+def fake_unet_factory(h, w):
+    """A deterministic, conditioning-sensitive stand-in for the UNet.
+
+    pred = 0.1 * sample[..., :4] + mean(id_tokens) + 0.01 * mean(audio) -
+           0.02 * mean(vasa) + 0.001 * t
+    (v-prediction-shaped output; enough structure to catch CFG/window bugs.)
+    """
+
+    def apply(params, sample, t, cond, added_time_ids, pose):
+        b, f = sample.shape[:2]
+        idm = cond.id_tokens.reshape(b, f, -1).mean(-1)[..., None, None, None]
+        aum = cond.audio_tokens.reshape(b, f, -1).mean(-1)[..., None, None, None]
+        vam = cond.vasa_tokens.reshape(b, f, -1).mean(-1)[..., None, None, None]
+        return (
+            0.1 * sample[..., :4] + idm + 0.01 * aum - 0.02 * vam
+            + 0.001 * t + 0.005 * sample[..., 4:]
+        )
+
+    return apply
+
+
+def reference_loop(cfg, plan, buffers, ref_latent, noise, unet_apply):
+    """Numpy re-implementation of the reference pipeline's denoise loop
+    (pipeline_svd_...two_ip.py:664-756) using the same fake UNet."""
+    buf = plan.buffer_len
+    fpb = cfg.frames_per_batch
+    h, w, _ = ref_latent.shape
+    latents_all = ref_latent[None] + noise * plan.sigmas[0]
+    latents_all = np.broadcast_to(latents_all, (buf, h, w, 4)).copy()
+    stride = fpb - cfg.overlap
+    shift = 0
+    for i, t in enumerate(plan.timesteps):
+        sigma, sigma_next = plan.sigmas[i], plan.sigmas[i + 1]
+        pred = np.zeros_like(latents_all)
+        counter = np.zeros((buf, 1, 1, 1))
+        for start in range(0, buf, stride):
+            idx = (np.arange(fpb) + start - shift) % buf
+            lat = latents_all[idx]
+            cond = S._cfg_conditioning(buffers, jnp.asarray(idx), cfg, jnp.float32)
+            lat4 = np.stack([lat] * 4)
+            scaled = lat4 / np.sqrt(sigma**2 + 1)
+            img = np.asarray(buffers.image_latents)[idx]
+            img4 = np.stack([np.zeros_like(img), img, img, img])
+            inp = np.concatenate([scaled, img4], axis=-1)
+            out = np.asarray(unet_apply(
+                None, jnp.asarray(inp), jnp.asarray(t), cond,
+                None, None,
+            ))
+            u, a, b, c = out
+            g1, g2, g3 = plan.guidance1[i], plan.guidance2[i], plan.guidance3[i]
+            np_pred = u + g1 * (a - u) + g2 * (b - a) + g3 * (c - b)
+            stepped = np.asarray(sch.step(
+                jnp.asarray(lat), jnp.asarray(np_pred), sigma, sigma_next,
+                cfg.scheduler.prediction_type,
+            ))
+            for j in range(fpb):
+                pred[idx[j]] += stepped[j]
+                counter[idx[j]] += 1
+        shift = (shift + cfg.shift_offset) % fpb
+        latents_all = pred / counter
+    return latents_all
+
+
+def build_buffers(buf, h, w, d=16, seed=0):
+    r = np.random.default_rng(seed)
+    f32 = lambda *s: jnp.asarray(r.standard_normal(s).astype(np.float32))
+    return S.CondBuffers(
+        id_tokens=f32(buf, 1, d),
+        audio_tokens=f32(buf, 4, d),
+        audio_tokens_u=f32(buf, 4, d),
+        vasa_tokens=f32(buf, 1, d),
+        vasa_tokens_u=f32(buf, 1, d),
+        image_latents=f32(buf, h, w, 4),
+        pose_fea=f32(buf, h, w, 2),
+        audio_mask=jnp.ones((1, 1, 8, 8)),
+        exp_mask=jnp.ones((1, 1, 8, 8)),
+    )
+
+
+def test_scan_matches_reference_loop():
+    cfg = S.SamplerConfig(
+        num_inference_steps=3, frames_per_batch=4, overlap=0, shift_offset=3,
+    )
+    num_frames, h, w = 6, 4, 4
+    plan = S.make_plan(cfg, num_frames)
+    buffers = build_buffers(plan.buffer_len, h, w)
+    key = jax.random.PRNGKey(0)
+    ref_latent = jax.random.normal(key, (h, w, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (plan.buffer_len, h, w, 4))
+    unet = fake_unet_factory(h, w)
+
+    got = S.sample_video(
+        unet, None, cfg, plan, buffers, ref_latent, jax.random.PRNGKey(1),
+        dtype=jnp.float32,
+    )
+    want = reference_loop(
+        cfg, plan, buffers, np.asarray(ref_latent), np.asarray(noise), unet
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_windows_cover_all_frames():
+    cfg = S.SamplerConfig(num_inference_steps=5, frames_per_batch=5, overlap=1,
+                          shift_offset=2)
+    plan = S.make_plan(cfg, 12)
+    for i in range(len(plan.timesteps)):
+        covered = np.unique(plan.window_idx[i])
+        assert len(covered) == plan.buffer_len
+
+
+def test_i2i_strength_truncates_plan():
+    cfg = S.SamplerConfig(num_inference_steps=10, i2i_noise_strength=0.5)
+    plan = S.make_plan(cfg, 4)
+    assert len(plan.timesteps) == 5
+    assert plan.window_idx.shape[0] == 5
+
+
+def test_windows_per_call_chunking_equal():
+    cfg_all = S.SamplerConfig(num_inference_steps=2, frames_per_batch=4,
+                              shift_offset=1)
+    cfg_chunk = S.SamplerConfig(num_inference_steps=2, frames_per_batch=4,
+                                shift_offset=1, windows_per_call=1)
+    plan = S.make_plan(cfg_all, 6)
+    buffers = build_buffers(plan.buffer_len, 4, 4, seed=3)
+    unet = fake_unet_factory(4, 4)
+    ref = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 4))
+    a = S.sample_video(unet, None, cfg_all, plan, buffers, ref,
+                       jax.random.PRNGKey(3), dtype=jnp.float32)
+    b = S.sample_video(unet, None, cfg_chunk, plan, buffers, ref,
+                       jax.random.PRNGKey(3), dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
