@@ -28,7 +28,41 @@ import jax
 import jax.numpy as jnp
 
 from actalker_tpu.models.common import LayerNormF32, dense
-from actalker_tpu.ops.attention import dot_product_attention
+from actalker_tpu.ops.attention import dot_product_attention, self_attention_bhsd
+
+
+class _Proj(nn.Module):
+    """Linear with Dense-compatible params but a custom application fn, so
+    head splitting/merging fuses into the projection einsum (no (B,S,H,D) <->
+    (B,H,S,D) relayouts around the attention kernel)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mode: str, heads: int = 1):
+        c = x.shape[-1] if mode != "out_bhsd" else x.shape[1] * x.shape[-1]
+        if mode == "out_bhsd":
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (c, self.features))
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (c, self.features))
+        k = kernel.astype(self.dtype)
+        if mode == "bhsd":          # (B, S, C) -> (B, H, S, D)
+            k3 = k.reshape(c, heads, self.features // heads)
+            y = jnp.einsum("bsc,chd->bhsd", x, k3)
+        elif mode == "out_bhsd":    # (B, H, S, D) -> (B, S, C)
+            h, d = x.shape[1], x.shape[-1]
+            k3 = k.reshape(h, d, self.features)
+            y = jnp.einsum("bhsd,hdc->bsc", x, k3)
+        else:                       # plain linear
+            y = x @ k
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
 
 
 def downsample_ip_mask(mask: jax.Array, num_queries: int) -> jax.Array:
@@ -78,6 +112,15 @@ class Attention(nn.Module):
     ) -> jax.Array:
         b, s, c = x.shape
         inner = self.heads * self.head_dim
+        if context is None and self.num_adapters == 0:
+            # pure self-attention: project straight to (B, H, S, D), run the
+            # flash kernel, fold the head-merge into the output projection.
+            q = _Proj(inner, dtype=self.dtype, name="to_q")(x, "bhsd", self.heads)
+            k = _Proj(inner, dtype=self.dtype, name="to_k")(x, "bhsd", self.heads)
+            v = _Proj(inner, dtype=self.dtype, name="to_v")(x, "bhsd", self.heads)
+            o = self_attention_bhsd(q, k, v)
+            return _Proj(self.out_dim or c, use_bias=True, dtype=self.dtype,
+                         name="to_out")(o, "out_bhsd")
         ctx = x if context is None else context
         # Shared-context folding: if the context batch divides the query batch
         # (e.g. one frame-pooled context per clip, queries per spatial

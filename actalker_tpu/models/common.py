@@ -34,16 +34,25 @@ class GroupNorm32(nn.Module):
         assert c % groups == 0, (c, groups)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        shape = xf.shape
-        import numpy as _np
-
-        spatial = int(_np.prod(shape[1:-1])) if len(shape) > 2 else 1
-        xg = xf.reshape(-1, spatial, groups, c // groups)
-        mean = xg.mean(axis=(1, 3), keepdims=True)
-        var = xg.var(axis=(1, 3), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = xg.reshape(shape) * scale + bias
+        shape = x.shape
+        n = shape[0]
+        red_axes = tuple(range(1, x.ndim - 1))
+        # Stats in the native (..., C) layout (a grouped reshape would put
+        # C//groups — e.g. 10 — on the lane dim: pathological tiling). Two
+        # channel-wise fp32 reductions, then a tiny per-group average, then
+        # one fused per-channel affine. No fp32 copy of x ever hits HBM.
+        s1 = jnp.mean(x, axis=red_axes, dtype=jnp.float32)            # (N, C)
+        s2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=red_axes)
+        mean_g = s1.reshape(n, groups, c // groups).mean(axis=2)      # (N, G)
+        mean2_g = s2.reshape(n, groups, c // groups).mean(axis=2)
+        var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
+        inv_g = jax.lax.rsqrt(var_g + self.epsilon)
+        inv_c = jnp.repeat(inv_g, c // groups, axis=1)                # (N, C)
+        mean_c = jnp.repeat(mean_g, c // groups, axis=1)
+        a = inv_c * scale[None]
+        b = bias[None] - mean_c * a
+        bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+        y = x * a.reshape(bshape) + b.reshape(bshape)
         return y.astype(orig_dtype)
 
 
@@ -56,10 +65,13 @@ class LayerNormF32(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = xf.mean(axis=-1, keepdims=True)
-        var = xf.var(axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                         keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        a = jax.lax.rsqrt(var + self.epsilon) * scale
+        b = bias - mean * a
+        y = x * a + b
         return y.astype(orig_dtype)
 
 

@@ -107,6 +107,52 @@ class SS2DUnit(nn.Module):
         token is an identity element of the scan (masked-dense select)."""
         b, l, d = x.shape
         n, rank = self.d_state, self.rank
+
+        if self.scan_impl == "pallas":
+            # Fast path: arrange once to the kernel's padded (L, B, D)
+            # layout, run projections there, share across both directions —
+            # one transpose in, one out, no per-direction pads.
+            from actalker_tpu.ops.selective_scan_pallas import (
+                _BT, _pick_lc, _round_up, ssm_scan_arranged,
+            )
+
+            dp = _round_up(d, 128)
+            lc = _pick_lc(64, l, dp, 128, x.dtype.itemsize)
+            lp = _round_up(l, lc)
+            bp = _round_up(b, _BT)
+            x_a = jnp.moveaxis(x, 0, 1)
+            x_a = jnp.pad(x_a, ((0, lp - l), (0, bp - b), (0, dp - d)))
+            tm = None
+            if transparent_mask is not None:
+                tm = jnp.pad(jnp.moveaxis(transparent_mask, 0, 1),
+                             ((0, lp - l), (0, bp - b)))
+            y = jnp.zeros((lp, bp, dp), self.dtype)
+            for k in range(self.num_direction):
+                # padded-weight einsums keep everything in the kernel layout
+                # (zero pad channels are exactly transparent in the scan)
+                xw = jnp.pad(self.x_proj_weight[k].astype(self.dtype),
+                             ((0, 0), (0, dp - d)))
+                x_dbl = jnp.einsum("lbd,cd->lbc", x_a, xw)
+                dts = x_dbl[..., :rank]
+                bcm = x_dbl[..., rank:rank + 2 * n]            # B | C packed
+                dtw = jnp.pad(self.dt_projs_weight[k].astype(self.dtype),
+                              ((0, dp - d), (0, 0)))
+                dt_a = jnp.einsum("lbr,dr->lbd", dts, dtw)
+                if tm is not None:
+                    dt_a = jnp.where(tm[:, :, None], dt_a, -1e9)
+                elif lp != l:
+                    lpad = jnp.zeros((lp, 1, 1), bool).at[:l].set(True)
+                    dt_a = jnp.where(lpad, dt_a, -1e9)
+                bc_a = jnp.pad(bcm.astype(x.dtype),
+                               ((0, 0), (0, 0), (0, 128 - 2 * n)))
+                A = -jnp.exp(self.A_logs[k * d:(k + 1) * d].astype(jnp.float32))
+                yk = ssm_scan_arranged(
+                    x_a, dt_a, bc_a, A, self.Ds[k * d:(k + 1) * d],
+                    self.dt_projs_bias[k], reverse=(k % 2 == 1), lc=lc,
+                )
+                y = y + yk.astype(self.dtype)
+            return jnp.moveaxis(y[:l, :b, :d], 0, 1)
+
         y = jnp.zeros((b, l, d), self.dtype)
         for k in range(self.num_direction):
             xw = self.x_proj_weight[k].astype(self.dtype)      # (rank+2n, d)

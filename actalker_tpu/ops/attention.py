@@ -35,3 +35,39 @@ def dot_product_attention(
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _flash_block_sizes(sq: int, sk: int):
+    from jax.experimental.pallas.ops.tpu import flash_attention as FA
+
+    bq = min(1024, sq)
+    bk = min(1024, sk)
+    return FA.BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+
+
+def self_attention_bhsd(q: jax.Array, k: jax.Array, v: jax.Array,
+                        scale: Optional[float] = None) -> jax.Array:
+    """Self-attention in (B, H, S, D) layout.
+
+    Uses the Pallas TPU flash-attention kernel for long sequences (the
+    reference's 72x72-token spatial self-attention materializes multi-GB
+    logits if done naively; flash keeps them in VMEM). Falls back to a fused
+    einsum+softmax for short sequences or non-TPU backends.
+    """
+    b, h, s, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    if (jax.default_backend() == "tpu" and s >= 1024 and s % 512 == 0
+            and d in (64, 128, 256)):
+        from jax.experimental.pallas.ops.tpu import flash_attention as FA
+
+        return FA.flash_attention(
+            q, k, v, sm_scale=scale, block_sizes=_flash_block_sizes(s, s)
+        )
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)

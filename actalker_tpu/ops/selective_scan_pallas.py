@@ -9,16 +9,20 @@ jointly — unlike Mamba-2 there is no shared-decay matmul (MXU) formulation,
 and the scan is inherently a VPU (elementwise) workload. The kernel wins over
 XLA's scan lowering (~500 ms/call at production sizes) by:
 
-  1. never materializing the discretized (B, L, D, N) tensors in HBM — they
-     are built per L-chunk in VMEM scratch;
-  2. carrying the hidden state in VMEM across the L-chunked grid, so HBM
-     traffic is just u/delta in + y out;
-  3. a layout engineered so the sequential inner loop does *no* data
-     relayouts: the state is an (8, N*Dp) tile — 8 batch sequences on
-     sublanes, the (state x channel) product on lanes — and each step is two
-     full-tile VPU ops (exp + fma) plus row loads/stores. All B/C/A
-     expansions happen in bulk phases as static, 128-aligned lane-segment
-     ops (Dp is padded to a multiple of 128, so segment n*Dp is aligned).
+  1. never materializing the discretized (B, L, D, N) tensors anywhere — the
+     N-fold expansion happens purely in vector registers;
+  2. carrying the hidden state across the L-chunked grid (VMEM scratch at
+     chunk boundaries, registers inside), so HBM traffic is just the operand
+     rows in + y out;
+  3. a relayout-free layout: 8 batch sequences on sublanes, channels on
+     lanes; the state is n_state separate (8, Dp) register values; B and C
+     are packed into one 128-lane block; per token the kernel does one
+     (8, Dp) softplus, n_state exp+fma segments, and one y-row store. The
+     per-token cost is VPU-transcendental-bound (the n_state * D exps are
+     the irreducible core of the S6 recurrence).
+
+The bidirectional units amortize layouts via ``arrange_ssm_inputs`` +
+``ssm_scan_arranged`` (one transpose in/out per unit, not per direction).
 
 fp32 state and accumulation throughout (the recurrence is precision-critical;
 the reference forces fp32 the same way, ``mamba_layer.py:319-325``).
@@ -53,16 +57,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _ssm_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
-                y_ref, h_scr, dtA_scr, hb_scr,
-                *, lc: int, n_state: int, dp: int, reverse: bool):
-    """One (batch-group, L-chunk) grid step.
+def _ssm_kernel(u_ref, dt_ref, A_ref, BC_ref, Dskip_ref, bias_ref,
+                y_ref, h_scr, *, lc: int, n_state: int, dp: int,
+                reverse: bool):
+    """One (batch-group, L-chunk) grid step — register-resident state.
+
+    The hidden state lives as ``n_state`` separate (8, Dp) values carried
+    through the fori_loop (vector registers, Mosaic willing); per step the
+    kernel reads one token row, runs the recurrence per state segment, and
+    writes one y row. VMEM traffic per token is just the operand rows
+    (~4 * 8 * Dp) instead of the 2 * N-expanded scratch of the previous
+    design — the N-fold expansion happens purely in registers.
 
     Ref shapes:
-      u_ref, dt_ref, y_ref: (lc, 8, Dp)     A_ref: (1, N*Dp) (row n*Dp+d)
-      B_ref, C_ref: (lc, 8, Np)             Dskip_ref, bias_ref: (1, Dp)
-      h_scr: (8, N*Dp) — state, persists across the L grid axis
-      dtA_scr, hb_scr: (lc, 8, N*Dp) — per-chunk delta*A and dBu/h rows.
+      u_ref, dt_ref: (lc, 8, Dp) (model dtype)
+      y_ref: (lc, 8, Dp) (model dtype)
+      A_ref: (1, N*Dp) fp32 (row n*Dp + d)
+      BC_ref: (lc, 8, 128) — B tokens in lanes [0, N), C in [N, 2N)
+      Dskip_ref, bias_ref: (1, Dp) fp32
+      h_scr: (8, N*Dp) fp32 — persists across the L grid axis.
     """
     lblk = pl.program_id(1)
 
@@ -70,84 +83,64 @@ def _ssm_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
 
-    bias = bias_ref[:].astype(jnp.float32).reshape(1, 1, dp)
-    dskip = Dskip_ref[:].astype(jnp.float32).reshape(1, 1, dp)
+    bias = bias_ref[:].astype(jnp.float32)                    # (1, Dp)
+    dskip = Dskip_ref[:].astype(jnp.float32)
+    a_segs = [A_ref[:, n * dp:(n + 1) * dp] for n in range(n_state)]
 
-    u_blk = u_ref[:].astype(jnp.float32)                      # (lc, 8, Dp)
-    dt_sp = jax.nn.softplus(dt_ref[:].astype(jnp.float32) + bias)
-    dtu = dt_sp * u_blk                                       # (lc, 8, Dp)
-    b_blk = B_ref[:].astype(jnp.float32)                      # (lc, 8, Np)
-    c_blk = C_ref[:].astype(jnp.float32)
-
-    # Bulk expansion: for each state index n, fill the 128-aligned lane
-    # segment [n*Dp, (n+1)*Dp) of the scratch arrays. Static python loop.
-    for n in range(n_state):
-        a_seg = A_ref[:, n * dp:(n + 1) * dp].reshape(1, 1, dp)
-        dtA_scr[:, :, n * dp:(n + 1) * dp] = dt_sp * a_seg
-        b_col = b_blk[:, :, n:n + 1]                          # (lc, 8, 1)
-        hb_scr[:, :, n * dp:(n + 1) * dp] = dtu * b_col
+    h0 = tuple(h_scr[:, n * dp:(n + 1) * dp] for n in range(n_state))
 
     def step(t, h):
         i = (lc - 1 - t) if reverse else t
-        da = jnp.exp(dtA_scr[pl.ds(i, 1)][0])                 # (8, N*Dp)
-        h = da * h + hb_scr[pl.ds(i, 1)][0]
-        hb_scr[pl.ds(i, 1)] = h[None]                         # overwrite with h
-        return h
+        u_t = u_ref[pl.ds(i, 1)][0].astype(jnp.float32)       # (8, Dp)
+        dt_t = jax.nn.softplus(
+            dt_ref[pl.ds(i, 1)][0].astype(jnp.float32) + bias
+        )
+        dtu = dt_t * u_t
+        bc_t = BC_ref[pl.ds(i, 1)][0].astype(jnp.float32)     # (8, 128)
+        y = dskip * u_t
+        hs = []
+        for n in range(n_state):
+            da = jnp.exp(dt_t * a_segs[n])
+            hn = da * h[n] + bc_t[:, n:n + 1] * dtu
+            y = y + bc_t[:, n_state + n:n_state + n + 1] * hn
+            hs.append(hn)
+        y_ref[pl.ds(i, 1)] = y[None].astype(y_ref.dtype)
+        return tuple(hs)
 
-    h_scr[:] = jax.lax.fori_loop(0, lc, step, h_scr[:])
-
-    # Bulk output: y = sum_n C_n * h_n (+ D * u), again per lane segment.
-    acc = dskip * u_blk
+    h = jax.lax.fori_loop(0, lc, step, h0)
     for n in range(n_state):
-        c_col = c_blk[:, :, n:n + 1]
-        acc = acc + hb_scr[:, :, n * dp:(n + 1) * dp] * c_col
-    y_ref[:] = acc
+        h_scr[:, n * dp:(n + 1) * dp] = h[n]
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "lc"))
-def ssm_scan(
-    u: jax.Array,
-    delta: jax.Array,
-    A: jax.Array,
-    Bmat: jax.Array,
-    Cmat: jax.Array,
-    D: Optional[jax.Array] = None,
-    delta_bias: Optional[jax.Array] = None,
+def _pick_lc(lc, l, dp, np_, itemsize):
+    budget = 8 * 2**20
+    per_row = _BT * (3 * dp + np_) * itemsize * 2
+    lc_fit = max(8, budget // per_row)
+    return max(1, min(lc, lc_fit, _round_up(l, 8)))
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "lc", "orig_l"))
+def ssm_scan_arranged(
+    u_a: jax.Array,        # (Lp, Bp, Dp) — pre-arranged, padded
+    dt_a: jax.Array,       # (Lp, Bp, Dp) — L-pad rows must be very negative
+    bc_a: jax.Array,       # (Lp, Bp, 128) — packed B | C lanes
+    A: jax.Array,          # (D, N)
+    D: Optional[jax.Array],
+    delta_bias: Optional[jax.Array],
     reverse: bool = False,
-    lc: int = 16,
+    lc: int = 64,
+    orig_l: Optional[int] = None,
 ) -> jax.Array:
-    """Selective scan via Pallas; see module docstring. Returns (B, L, D) fp32."""
-    b, l, d = u.shape
+    """Low-level entry on pre-arranged (L-major) buffers; returns
+    (Lp, Bp, Dp) in u's dtype. Lets callers amortize the layout transposes
+    across the forward+reverse directions and multiple units."""
+    lp, bp, dp = u_a.shape
+    d = A.shape[0]
     n = A.shape[-1]
-    dp = _round_up(d, 128)
-    bp = _round_up(b, _BT)
-    np_ = _round_up(n, 128)  # B/C storage minor dim (lane dim)
-    # Fit the two (lc, 8, N*Dp) fp32 scratch buffers in ~10 MB of VMEM
-    # (v5e has 16 MB/core; the rest goes to pipelined in/out blocks).
-    budget = 10 * 2**20
-    lc_fit = max(2, budget // (2 * _BT * n * dp * 4))
-    lc = max(1, min(lc, lc_fit, _round_up(l, 8)))
-    lp = _round_up(l, lc)
+    np_ = bc_a.shape[-1]
+    lc = _pick_lc(lc, lp, dp, np_, u_a.dtype.itemsize)
+    assert lp % lc == 0, (lp, lc)
 
-    # Arrange to (L, B, D) with padding. Batch pad rows are harmless garbage
-    # lanes; L pad uses delta = -30 => softplus ~ 1e-13: identity steps.
-    def arrange(x, minor, minor_pad, l_pad_value=0.0):
-        x = jnp.moveaxis(x, 0, 1)  # (L, B, minor)
-        return jnp.pad(
-            x,
-            ((0, lp - l), (0, bp - b), (0, minor_pad - minor)),
-            constant_values=l_pad_value,
-        ) if (lp != l or bp != b or minor_pad != minor) else x
-
-    u_a = arrange(u, d, dp)
-    # L-padding must make delta very negative; pad separately.
-    dt_a = jnp.moveaxis(delta, 0, 1)
-    dt_a = jnp.pad(dt_a, ((0, 0), (0, bp - b), (0, dp - d)))
-    dt_a = jnp.pad(dt_a, ((0, lp - l), (0, 0), (0, 0)), constant_values=-30.0)
-    b_a = arrange(Bmat, n, np_)
-    c_a = arrange(Cmat, n, np_)
-
-    # A flattened to a single (1, N*Dp) row: entry n*Dp + d = A[d, n].
     a_exp = jnp.pad(jnp.transpose(A.astype(jnp.float32)), ((0, 0), (0, dp - d)))
     a_exp = a_exp.reshape(1, n * dp)
     Dv = jnp.zeros((d,), jnp.float32) if D is None else D.astype(jnp.float32)
@@ -164,7 +157,7 @@ def ssm_scan(
         lmap = lambda gi, li: (li, gi, 0)  # noqa: E731
     cmap = lambda gi, li: (0, 0)  # noqa: E731
 
-    y = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _ssm_kernel, lc=lc, n_state=n, dp=dp, reverse=reverse
         ),
@@ -175,20 +168,64 @@ def ssm_scan(
             pl.BlockSpec((lc, _BT, dp), lmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n * dp), cmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((lc, _BT, np_), lmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((lc, _BT, np_), lmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dp), cmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dp), cmap, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((lc, _BT, dp), lmap, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lp, bp, dp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((_BT, n * dp), jnp.float32),
-            pltpu.VMEM((lc, _BT, n * dp), jnp.float32),
-            pltpu.VMEM((lc, _BT, n * dp), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((lp, bp, dp), u_a.dtype),
+        scratch_shapes=[pltpu.VMEM((_BT, n * dp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(u_a, dt_a, a_exp, b_a, c_a, Dv, bias)
+    )(u_a, dt_a, a_exp, bc_a, Dv, bias)
 
+
+@functools.partial(jax.jit, static_argnames=("reverse", "lc"))
+def ssm_scan(
+    u: jax.Array,
+    delta: jax.Array,
+    A: jax.Array,
+    Bmat: jax.Array,
+    Cmat: jax.Array,
+    D: Optional[jax.Array] = None,
+    delta_bias: Optional[jax.Array] = None,
+    reverse: bool = False,
+    lc: int = 64,
+) -> jax.Array:
+    """Selective scan via Pallas; see module docstring. Returns (B, L, D) in
+    u's dtype. Thin wrapper over ``ssm_scan_arranged`` for (B, L, D) callers."""
+    b, l, d = u.shape
+    n = A.shape[-1]
+    u_a, dt_a, bc_a = arrange_ssm_inputs(u, delta, Bmat, Cmat, lc=lc)
+    y = ssm_scan_arranged(u_a, dt_a, bc_a, A, D, delta_bias,
+                          reverse=reverse, lc=lc)
     return jnp.moveaxis(y[:l, :b, :d], 0, 1)
+
+
+def arrange_ssm_inputs(u, delta, Bmat, Cmat, lc: int = 64):
+    """(B, L, ...) -> padded (L, B, ...) buffers for ``ssm_scan_arranged``.
+
+    Batch pad rows are harmless garbage lanes; L-pad rows get delta = -30
+    (softplus ~ 1e-13 => identity recurrence steps)."""
+    b, l, d = u.shape
+    n = Bmat.shape[-1]
+    dp = _round_up(d, 128)
+    bp = _round_up(b, _BT)
+    np_ = 128
+    assert 2 * n <= np_, f"d_state {n} too large for packed B|C"
+    lc = _pick_lc(lc, l, dp, np_, u.dtype.itemsize)
+    lp = _round_up(l, lc)
+
+    def arrange(x, minor, minor_pad):
+        x = jnp.moveaxis(x, 0, 1)
+        if lp != l or bp != b or minor_pad != minor:
+            x = jnp.pad(x, ((0, lp - l), (0, bp - b), (0, minor_pad - minor)))
+        return x
+
+    u_a = arrange(u, d, dp)
+    dt_a = jnp.moveaxis(delta, 0, 1)
+    dt_a = jnp.pad(dt_a, ((0, 0), (0, bp - b), (0, dp - d)))
+    dt_a = jnp.pad(dt_a, ((0, lp - l), (0, 0), (0, 0)), constant_values=-30.0)
+    bc = jnp.concatenate([Bmat, Cmat], axis=-1).astype(u.dtype)
+    bc_a = arrange(bc, 2 * n, np_)
+    return u_a, dt_a, bc_a

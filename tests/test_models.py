@@ -245,3 +245,22 @@ def test_mask_downsample_box():
     out = np.asarray(out).reshape(8, 8)
     assert out[4, 4] > 0.9   # box interior survives
     assert out[0, 0] < 0.1   # outside stays off
+
+
+def test_ssm_unit_pallas_path_matches_blocked():
+    """The arranged pallas fast path must equal the legacy blocked path."""
+    b, l, d = 2, 20, 8
+    x = jax.random.normal(KEY, (b, l, d))
+    unit_b = SS2DUnit(d_inner=d, d_state=4, dt_rank=2, scan_impl="blocked")
+    params = unit_b.init(KEY, x)
+    unit_p = SS2DUnit(d_inner=d, d_state=4, dt_rank=2, scan_impl="pallas")
+    y_b = unit_b.apply(params, x)
+    y_p = unit_p.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_b), rtol=2e-4,
+                               atol=2e-4)
+    # with a transparent mask
+    keep = jnp.tile(jnp.array([True, True, False, True] * 5)[None], (b, 1))
+    y_b = unit_b.apply(params, x, transparent_mask=keep)
+    y_p = unit_p.apply(params, x, transparent_mask=keep)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_b), rtol=2e-4,
+                               atol=2e-4)
