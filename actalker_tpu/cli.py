@@ -91,9 +91,14 @@ def main(argv=None):
 
     from PIL import Image
 
+    from actalker_tpu.frontend.face import detect_face
+
     ref_rgb = np.asarray(Image.open(args.ref).convert("RGB"))
+    bbox = detect_face(ref_rgb)
+    if bbox is None:
+        print("[actalker_tpu] no face detected; using full-image bbox")
     pre = P.preprocess_reference_image(
-        ref_rgb, None, image_size=cfg.image_size, area=cfg.area,
+        ref_rgb, bbox, image_size=cfg.image_size, area=cfg.area,
         crop=cfg.crop, expand_ratio=cfg.expand_ratio,
         aspect_type=cfg.aspect_type,
     )
@@ -158,6 +163,36 @@ def main(argv=None):
     V.write_video(out_audio, frames01, fps=cfg.fps, audio_path=args.audio)
     print(f"wrote {out_audio} ({num_frames} frames) in "
           f"{time.time() - t0:.1f}s")
+
+    # Interactive re-run loop: read a new YAML and regenerate without
+    # reloading the heavy models (reference ``Inference.py:379-400``).
+    while True:
+        try:
+            new_cfg_path = input(
+                "\nInference completed. Enter a new YAML config to run again "
+                "(or press Enter to exit): "
+            ).strip()
+        except EOFError:
+            break
+        if not new_cfg_path:
+            break
+        if not os.path.exists(new_cfg_path):
+            print(f"config {new_cfg_path} not found")
+            continue
+        new_cfg = InferenceConfig.from_yaml(new_cfg_path)
+        scfg = new_cfg.sampler_config(gate)
+        t0 = time.time()
+        latents = pipe.generate_latents(
+            pre.ref_img, np.zeros(512, np.float32), audio_tok, audio_unc,
+            vasa_tok, vasa_unc, pose_imgs, scfg, seed=new_cfg.seed or 0,
+        )
+        frames01 = np.clip(
+            pipe.decode_latents(latents, new_cfg.decode_chunk_size) * 0.5 + 0.5,
+            0, 1,
+        )
+        out2 = os.path.join(out_dir, f"{base}_rerun.mp4")
+        V.write_video(out2, frames01, fps=new_cfg.fps, audio_path=args.audio)
+        print(f"wrote {out2} in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,72 @@
+"""Face detection for the host frontend.
+
+The reference uses a YOLOv5-face + TorchScript landmark stack
+(``src/utils/face_align/``, loaded at ``test_preprocess.py:38-49``) and falls
+back to the full-image bbox when the models are absent. This framework makes
+the detector pluggable:
+
+  * ``CascadeFaceDetector`` — OpenCV Haar cascade (ships with cv2, no
+    downloaded weights; good enough to localize the face box that drives the
+    region masks and ArcFace crop);
+  * any callable ``image -> (x1, y1, x2, y2) | None`` can be swapped in
+    (e.g. a converted YOLO-face once its weights are available);
+  * ``None`` results fall back to the full image exactly like the reference.
+"""
+from __future__ import annotations
+
+from typing import Optional, Protocol, Tuple
+
+import numpy as np
+
+Box = Tuple[float, float, float, float]
+
+
+class FaceDetector(Protocol):
+    def __call__(self, image: np.ndarray) -> Optional[Box]: ...
+
+
+class CascadeFaceDetector:
+    """Viola-Jones over the system haarcascade models (our own vectorized
+    evaluator — OpenCV 5 removed CascadeClassifier but still ships the XMLs)."""
+
+    CASCADE_PATHS = (
+        "/usr/share/opencv4/haarcascades/haarcascade_frontalface_alt2.xml",
+        "/usr/share/opencv4/haarcascades/haarcascade_frontalface_default.xml",
+    )
+
+    def __init__(self, max_side: int = 320):
+        import os
+
+        from actalker_tpu.frontend.viola_jones import CascadeModel, ViolaJones
+
+        path = next((p for p in self.CASCADE_PATHS if os.path.exists(p)), None)
+        if path is None:
+            raise RuntimeError("no haarcascade model found on this system")
+        self.vj = ViolaJones(CascadeModel.load(path))
+        self.max_side = max_side
+
+    def __call__(self, image: np.ndarray) -> Optional[Box]:
+        h, w = image.shape[:2]
+        ds = max(1, int(np.ceil(max(h, w) / self.max_side)))
+        small = image[::ds, ::ds]
+        gray = (0.299 * small[..., 0] + 0.587 * small[..., 1]
+                + 0.114 * small[..., 2])
+        faces = self.vj.detect(gray, min_size=max(24, min(gray.shape) // 8))
+        if not faces:
+            return None
+        x, y, fw, fh = max(faces, key=lambda f: f[2] * f[3])  # maxface
+        return (float(x * ds), float(y * ds),
+                float((x + fw) * ds), float((y + fh) * ds))
+
+
+def detect_face(image: np.ndarray,
+                detector: Optional[FaceDetector] = None) -> Optional[Box]:
+    if detector is None:
+        try:
+            detector = CascadeFaceDetector()
+        except Exception:
+            return None
+    try:
+        return detector(image)
+    except Exception:
+        return None

@@ -39,6 +39,7 @@ def lib():
         L.read_video_rgb.restype = ctypes.c_int64
         L.read_video_rgb.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int,
         ]
         L.write_video_rgb.restype = ctypes.c_int
         L.write_video_rgb.argtypes = [
@@ -83,13 +84,15 @@ def read_video(path: str, limit: Optional[int] = None) -> np.ndarray:
         raise RuntimeError("native media library not built")
     w, h, _, nframes = video_info(path)
     cap = limit or (nframes if nframes > 0 else 1 << 16)
-    buf = np.empty((cap, h, w, 3), np.uint8)
+    stride_w = (w + 15) // 16 * 16  # sws_scale writes aligned row tails
+    buf = np.empty((cap, h, stride_w, 3), np.uint8)
     got = L.read_video_rgb(
-        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, stride_w,
     )
     if got < 0:
         raise RuntimeError(f"video decode failed: {path}")
-    return buf[:got]
+    return np.ascontiguousarray(buf[:got, :, :w])
 
 
 def write_video(path: str, frames: np.ndarray, fps: float = 12.5,

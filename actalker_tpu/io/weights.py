@@ -384,3 +384,132 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         sd = sd["state_dict"]
     return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}
+
+
+# ---------------------------------------------------- aux model converters
+
+def convert_vasa_expression(ckpt: Mapping[str, np.ndarray]) -> Dict:
+    """``MX31c_32k.ckpt``'s generator sub-dict -> HeadExpression params.
+
+    The reference strips the 'expression_model.' prefix from the generator
+    dict (``Inference.py:149-154``); keys look like
+    ``resnet50.conv1.weight``, ``resnet50.layerK.J.convN/gnN``."""
+    dst: Dict = {}
+    g = {k[len("expression_model."):]: v for k, v in ckpt.items()
+         if k.startswith("expression_model.")} or dict(ckpt)
+
+    def gn(prefix, src):
+        set_in(dst, f"{prefix}/scale", np.asarray(g[f"{src}.weight"]))
+        set_in(dst, f"{prefix}/bias", np.asarray(g[f"{src}.bias"]))
+
+    set_in(dst, "conv1/kernel", t_conv2d(np.asarray(g["resnet50.conv1.weight"])))
+    gn("gn1", "resnet50.gn1")
+    layers = (3, 4, 6, 3)
+    for i, blocks in enumerate(layers):
+        for j in range(blocks):
+            s = f"resnet50.layer{i + 1}.{j}"
+            p = f"layer{i + 1}_{j}"
+            for conv in ("conv1", "conv2", "conv3"):
+                set_in(dst, f"{p}/{conv}/kernel",
+                       t_conv2d(np.asarray(g[f"{s}.{conv}.weight"])))
+            for k in ("gn1", "gn2", "gn3"):
+                gn(f"{p}/{k}", f"{s}.{k}")
+            if f"{s}.downsample.0.weight" in g:
+                set_in(dst, f"{p}/downsample_conv/kernel",
+                       t_conv2d(np.asarray(g[f"{s}.downsample.0.weight"])))
+                gn(f"{p}/downsample_gn", f"{s}.downsample.1")
+    _linear(dst, "fc", g, "resnet50.fc")
+    return {"params": dst}
+
+
+def convert_vasa_pose(sd: Mapping[str, np.ndarray]) -> Dict:
+    """``checkpoint['pose_model']`` -> HeadPose params (ResNet-18-GN)."""
+    dst: Dict = {}
+    g = dict(sd)
+
+    def gn(prefix, src):
+        set_in(dst, f"{prefix}/scale", np.asarray(g[f"{src}.weight"]))
+        set_in(dst, f"{prefix}/bias", np.asarray(g[f"{src}.bias"]))
+
+    set_in(dst, "conv1/kernel",
+           t_conv2d(np.asarray(g["head_pose_net.conv1.weight"])))
+    gn("bn1", "head_pose_net.bn1")
+    for i, blocks in enumerate((2, 2, 2, 2)):
+        for j in range(blocks):
+            s = f"head_pose_net.layer{i + 1}.{j}"
+            p = f"layer{i + 1}_{j}"
+            set_in(dst, f"{p}/conv1/kernel",
+                   t_conv2d(np.asarray(g[f"{s}.conv1.weight"])))
+            set_in(dst, f"{p}/conv2/kernel",
+                   t_conv2d(np.asarray(g[f"{s}.conv2.weight"])))
+            gn(f"{p}/bn1", f"{s}.bn1")
+            gn(f"{p}/bn2", f"{s}.bn2")
+            if f"{s}.shortcut.0.weight" in g:
+                set_in(dst, f"{p}/shortcut_conv/kernel",
+                       t_conv2d(np.asarray(g[f"{s}.shortcut.0.weight"])))
+                gn(f"{p}/shortcut_gn", f"{s}.shortcut.1")
+    _linear(dst, "fc", g, "head_pose_net.fc")
+    return {"params": dst}
+
+
+def convert_arcface(sd: Mapping[str, np.ndarray],
+                    layers=(3, 4, 14, 3)) -> Dict:
+    """insightface iResNet (``backbone.pth``) -> IResNet params."""
+    dst: Dict = {}
+
+    def bn(prefix, src):
+        set_in(dst, f"{prefix}/scale", np.asarray(sd[f"{src}.weight"]))
+        set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+        set_in(dst, f"{prefix}/mean", np.asarray(sd[f"{src}.running_mean"]))
+        set_in(dst, f"{prefix}/var", np.asarray(sd[f"{src}.running_var"]))
+
+    set_in(dst, "conv1/kernel", t_conv2d(np.asarray(sd["conv1.weight"])))
+    bn("bn1", "bn1")
+    set_in(dst, "prelu/alpha", np.asarray(sd["prelu.weight"]))
+    for i, blocks in enumerate(layers):
+        for j in range(blocks):
+            s = f"layer{i + 1}.{j}"
+            p = f"layer{i + 1}_{j}"
+            for conv in ("conv1", "conv2"):
+                set_in(dst, f"{p}/{conv}/kernel",
+                       t_conv2d(np.asarray(sd[f"{s}.{conv}.weight"])))
+            for k in ("bn1", "bn2", "bn3"):
+                bn(f"{p}/{k}", f"{s}.{k}")
+            set_in(dst, f"{p}/prelu/alpha", np.asarray(sd[f"{s}.prelu.weight"]))
+            if f"{s}.downsample.0.weight" in sd:
+                set_in(dst, f"{p}/downsample_conv/kernel",
+                       t_conv2d(np.asarray(sd[f"{s}.downsample.0.weight"])))
+                bn(f"{p}/downsample_bn", f"{s}.downsample.1")
+    bn("bn2", "bn2")
+    _linear(dst, "fc", sd, "fc")
+    bn("features", "features")
+    return {"params": dst}
+
+
+def convert_rife(sd: Mapping[str, np.ndarray]) -> Dict:
+    """RIFE ``flownet.pkl`` (module.-stripped) -> IFNet params."""
+    dst: Dict = {}
+
+    def convprelu(prefix, src):
+        _conv2(dst, f"{prefix}/conv", sd, f"{src}.0")
+        set_in(dst, f"{prefix}/prelu/alpha", np.asarray(sd[f"{src}.1.weight"]))
+
+    for bi in range(3):
+        s = f"block{bi}"
+        p = f"block{bi}"
+        convprelu(f"{p}/conv0_0", f"{s}.conv0.0")
+        convprelu(f"{p}/conv0_1", f"{s}.conv0.1")
+        for ci in range(4):
+            convprelu(f"{p}/convblock{ci}_0", f"{s}.convblock{ci}.0")
+            convprelu(f"{p}/convblock{ci}_1", f"{s}.convblock{ci}.1")
+        # transposed convs: torch (in, out, kh, kw) -> flax (kh, kw, in, out)
+        for tname, fpre, pidx in (("conv1", "conv1", 0), ("conv2", "conv2", 0)):
+            w0 = np.asarray(sd[f"{s}.{tname}.{pidx}.weight"])
+            set_in(dst, f"{p}/{fpre}_0/kernel", np.transpose(w0, (2, 3, 0, 1)))
+            set_in(dst, f"{p}/{fpre}_0/bias", np.asarray(sd[f"{s}.{tname}.{pidx}.bias"]))
+            set_in(dst, f"{p}/{fpre}_prelu/alpha",
+                   np.asarray(sd[f"{s}.{tname}.1.weight"]))
+            w2 = np.asarray(sd[f"{s}.{tname}.2.weight"])
+            set_in(dst, f"{p}/{fpre}_1/kernel", np.transpose(w2, (2, 3, 0, 1)))
+            set_in(dst, f"{p}/{fpre}_1/bias", np.asarray(sd[f"{s}.{tname}.2.bias"]))
+    return {"params": dst}

@@ -128,12 +128,15 @@ int video_info(const char* path, int* w, int* h, double* fps,
   return 0;
 }
 
-// Decode up to max_frames RGB24 frames at native size into out
-// (max_frames * h * w * 3 bytes). Returns frames decoded.
-int64_t read_video_rgb(const char* path, uint8_t* out, int64_t max_frames) {
+// Decode up to max_frames RGB24 frames at native size into out laid out as
+// (max_frames, h, stride_w, 3); stride_w must be >= w and a multiple of 16
+// (sws_scale writes aligned row tails). Returns frames decoded.
+int64_t read_video_rgb(const char* path, uint8_t* out, int64_t max_frames,
+                       int stride_w) {
   Decoder d;
   if (!d.open(path, AVMEDIA_TYPE_VIDEO)) return -1;
   const int w = d.ctx->width, h = d.ctx->height;
+  if (stride_w < w) return -2;
   SwsContext* sws =
       sws_getContext(w, h, d.ctx->pix_fmt, w, h, AV_PIX_FMT_RGB24,
                      SWS_BILINEAR, nullptr, nullptr, nullptr);
@@ -151,8 +154,8 @@ int64_t read_video_rgb(const char* path, uint8_t* out, int64_t max_frames) {
     }
     av_packet_unref(pkt);
     while (n < max_frames && avcodec_receive_frame(d.ctx, frame) >= 0) {
-      uint8_t* dst[1] = {out + n * (int64_t)w * h * 3};
-      int stride[1] = {w * 3};
+      uint8_t* dst[1] = {out + n * (int64_t)stride_w * h * 3};
+      int stride[1] = {stride_w * 3};
       sws_scale(sws, frame->data, frame->linesize, 0, h, dst, stride);
       av_frame_unref(frame);
       ++n;
