@@ -45,8 +45,8 @@ def test_identity_cosine():
     def embed(batch):
         return batch.reshape(batch.shape[0], -1)
 
-    same = M.identity_cosine(ref, np.stack([ref] * 3))
-    other = M.identity_cosine(ref, rng.standard_normal((3, 8, 8, 3)))
+    same = M.identity_cosine(ref, np.stack([ref] * 3), embed)
+    other = M.identity_cosine(ref, rng.standard_normal((3, 8, 8, 3)), embed)
     assert same > 0.99 > other
 
 
