@@ -226,7 +226,7 @@ def test_pose_guider_zero_init():
 
 
 def test_tiny_unet_end_to_end():
-    cfg = UNetConfig(scan_impl="blocked").tiny()
+    cfg = UNetConfig(scan_impl="blocked").micro()
     unet = UNetSpatioTemporalCondition(cfg)
     b, f, hh, ww = 1, 2, 16, 16
     sample = jax.random.normal(KEY, (b, f, hh, ww, 8))
