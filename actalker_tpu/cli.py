@@ -55,6 +55,15 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
         wsp = os.path.join(cfg.whisper_model, "pytorch_model.bin")
         params["whisper"] = W.convert_whisper_encoder(
             W.load_torch_state_dict(wsp))
+        if have(cfg.vasa_checkpoint_path):
+            import torch
+
+            ck = torch.load(cfg.vasa_checkpoint_path, map_location="cpu",
+                            weights_only=True)
+            gen = {k: v.float().numpy() for k, v in ck["generator"].items()}
+            params["vasa_expression"] = W.convert_vasa_expression(gen)
+            params["vasa_pose"] = W.convert_vasa_pose(
+                {k: v.float().numpy() for k, v in ck["pose_model"].items()})
     else:
         print("[actalker_tpu] using random weights "
               "(no checkpoints found or --random-weights)")
@@ -126,22 +135,30 @@ def main(argv=None):
         feats, num_frames, step=cfg.step
     )
 
-    # VASA tokens from the driving video (modes 1/2)
-    if args.mode != 0 and args.video:
-        from actalker_tpu.models.vasa import HeadExpression, HeadPose
-
+    # VASA tokens from the driving video (modes 1/2): per-frame face crop ->
+    # expression tower; square bbox crop -> pose tower (reference
+    # ``Inference.py:478-505``, ``test_preprocess.py:314-421``).
+    if args.mode != 0 and args.video and "vasa_expression" in pipe.params:
         frames = V.read_frames(args.video, limit=num_frames * cfg.step)
-        crops = np.stack([
-            P.resize_image(f, (256, 256)).astype(np.float32) / 255.0
-            for f in frames
-        ])
-        # expression/pose encoders need converted VASA weights; random
-        # fallback mirrors --random-weights
-        print("[actalker_tpu] VASA towers not yet loaded from checkpoint; "
-              "using zeros (mode degraded to audio-only conditioning)")
-        vasa_tok, vasa_unc = pipe.vasa_tokens(None, None, num_frames,
+        fh, fw = frames.shape[1:3]
+        vbox = detect_face(frames[0]) or (0, 0, fw, fh)
+        sq = P.process_bbox(list(vbox), 1.0, fh, fw)
+        x1, y1, x2, y2 = [int(max(v, 0)) for v in sq]
+        x2, y2 = min(x2, fw), min(y2, fh)
+
+        def crop256(f):
+            return P.resize_image(f[y1:y2, x1:x2], (256, 256)).astype(
+                np.float32) / 255.0
+
+        sel = frames[:: cfg.step][:num_frames]
+        crops = np.stack([crop256(f) for f in sel])
+        expr, rot = pipe.encode_vasa_video(crops, crops)
+        vasa_tok, vasa_unc = pipe.vasa_tokens(expr, rot, num_frames,
                                               cfg.vasa_expression_dim)
     else:
+        if args.mode != 0:
+            print("[actalker_tpu] VASA weights unavailable; zero expression "
+                  "tokens")
         vasa_tok, vasa_unc = pipe.vasa_tokens(None, None, num_frames,
                                               cfg.vasa_expression_dim)
 

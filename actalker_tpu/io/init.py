@@ -61,6 +61,12 @@ def init_pipeline_params(
             k, jnp.zeros((1, frames, h, w, 3))
         ),
         "whisper": lambda k: modules.whisper.init(k, jnp.zeros((1, 80, 100))),
+        "vasa_expression": lambda k: modules.vasa_expression.init(
+            k, jnp.zeros((1, 64, 64, 3))
+        ),
+        "vasa_pose": lambda k: modules.vasa_pose.init(
+            k, jnp.zeros((1, 64, 64, 3))
+        ),
     }
     params = {}
     for i, (name, fn) in enumerate(inits.items()):

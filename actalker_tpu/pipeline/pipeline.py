@@ -31,6 +31,7 @@ from actalker_tpu.models.pose_guider import PoseGuider
 from actalker_tpu.models.projections import AudioProjModel, IDProjModel, VasaProjModel
 from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
 from actalker_tpu.models.vae import AutoencoderKLTemporalDecoder, VAEConfig
+from actalker_tpu.models.vasa import HeadExpression, HeadPose
 from actalker_tpu.models.whisper import WhisperEncoder
 from actalker_tpu.pipeline.sampler import (
     CondBuffers,
@@ -49,6 +50,9 @@ class PipelineModules:
     vasa_proj: VasaProjModel
     pose_guider: PoseGuider
     whisper: WhisperEncoder
+    vasa_expression: HeadExpression = dataclasses.field(
+        default_factory=HeadExpression)
+    vasa_pose: HeadPose = dataclasses.field(default_factory=HeadPose)
 
     @classmethod
     def create(cls, unet_config: Optional[UNetConfig] = None,
@@ -106,6 +110,32 @@ class ACTalkerPipeline:
         )[0, 0]  # (32, 1024)
         uncond = jnp.broadcast_to(uncond[None], ap.shape)
         return ap, uncond
+
+    def encode_vasa_video(self, face_crops: np.ndarray, pose_crops: np.ndarray,
+                          chunk: int = 16):
+        """Run the VASA towers over driving-video crops.
+
+        face_crops: (F, 256, 256, 3) in [0, 1] (expression tower input);
+        pose_crops: (F, 256, 256, 3) in [0, 1] (pose tower gets *2-1, the
+        reference's ``Inference.py:494``). Returns (expr (F, 512), rot (F, 3)).
+        Requires 'vasa_expression' / 'vasa_pose' params (converted from the
+        reference's MX31c checkpoint)."""
+        expr_fn = jax.jit(lambda x: self.m.vasa_expression.apply(
+            self.params["vasa_expression"], x))
+        pose_fn = jax.jit(lambda x: self.m.vasa_pose.apply(
+            self.params["vasa_pose"], x * 2.0 - 1.0))
+        exprs, rots = [], []
+        n = face_crops.shape[0]
+        for i in range(0, n, chunk):
+            fc = jnp.asarray(face_crops[i:i + chunk], jnp.float32)
+            pc = jnp.asarray(pose_crops[i:i + chunk], jnp.float32)
+            pad = chunk - fc.shape[0]
+            if pad:
+                fc = jnp.concatenate([fc, jnp.broadcast_to(fc[-1:], (pad,) + fc.shape[1:])])
+                pc = jnp.concatenate([pc, jnp.broadcast_to(pc[-1:], (pad,) + pc.shape[1:])])
+            exprs.append(np.asarray(expr_fn(fc))[:chunk - pad if pad else None])
+            rots.append(np.asarray(pose_fn(pc)["rotation"])[:chunk - pad if pad else None])
+        return np.concatenate(exprs)[:n], np.concatenate(rots)[:n]
 
     def vasa_tokens(self, expr: Optional[np.ndarray], rot: Optional[np.ndarray],
                     num_frames: int, vasa_dim: int = 1018):
