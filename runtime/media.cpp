@@ -143,16 +143,8 @@ int64_t read_video_rgb(const char* path, uint8_t* out, int64_t max_frames,
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   int64_t n = 0;
-  bool eof = false;
-  while (!eof && n < max_frames) {
-    int r = av_read_frame(d.fmt, pkt);
-    if (r < 0) {
-      avcodec_send_packet(d.ctx, nullptr);
-      eof = true;
-    } else if (pkt->stream_index == d.stream) {
-      avcodec_send_packet(d.ctx, pkt);
-    }
-    av_packet_unref(pkt);
+
+  auto drain = [&]() {
     while (n < max_frames && avcodec_receive_frame(d.ctx, frame) >= 0) {
       uint8_t* dst[1] = {out + n * (int64_t)stride_w * h * 3};
       int stride[1] = {stride_w * 3};
@@ -160,7 +152,17 @@ int64_t read_video_rgb(const char* path, uint8_t* out, int64_t max_frames,
       av_frame_unref(frame);
       ++n;
     }
+  };
+
+  while (n < max_frames && av_read_frame(d.fmt, pkt) >= 0) {
+    if (pkt->stream_index == d.stream) {
+      avcodec_send_packet(d.ctx, pkt);
+      drain();
+    }
+    av_packet_unref(pkt);
   }
+  avcodec_send_packet(d.ctx, nullptr);  // flush the decoder
+  drain();
   av_frame_free(&frame);
   av_packet_free(&pkt);
   sws_freeContext(sws);
@@ -188,6 +190,7 @@ int write_video_rgb(const char* path, const uint8_t* frames, int64_t n,
   vc->time_base = av_inv_q(fr);
   vc->framerate = fr;
   vc->gop_size = 12;
+  vc->max_b_frames = 0;  // keep container frame count exactly decodable
   char crfs[16];
   snprintf(crfs, sizeof crfs, "%d", crf);
   av_opt_set(vc->priv_data, "crf", crfs, 0);
@@ -247,6 +250,9 @@ int write_video_rgb(const char* path, const uint8_t* frames, int64_t n,
   auto pump_video = [&](bool flush) {
     while (avcodec_receive_packet(vc, pkt) >= 0) {
       av_packet_rescale_ts(pkt, vc->time_base, vs->time_base);
+      // explicit sample duration: without it the mp4 muxer leaves the final
+      // sample 0-length and demuxers drop the last frame of every clip
+      pkt->duration = av_rescale_q(1, vc->time_base, vs->time_base);
       pkt->stream_index = vs->index;
       av_interleaved_write_frame(ofmt, pkt);
       av_packet_unref(pkt);
@@ -260,10 +266,12 @@ int write_video_rgb(const char* path, const uint8_t* frames, int64_t n,
     av_frame_make_writable(vf);
     sws_scale(sws, src, stride, 0, h, vf->data, vf->linesize);
     vf->pts = i;
-    avcodec_send_frame(vc, vf);
+    // send_frame returns EAGAIN when output is pending: drain and retry
+    // (dropping the frame here loses the clip's final frame).
+    while (avcodec_send_frame(vc, vf) == AVERROR(EAGAIN)) pump_video(false);
     pump_video(false);
   }
-  avcodec_send_frame(vc, nullptr);
+  while (avcodec_send_frame(vc, nullptr) == AVERROR(EAGAIN)) pump_video(false);
   pump_video(true);
 
   if (ac && audio) {
@@ -284,7 +292,14 @@ int write_video_rgb(const char* path, const uint8_t* frames, int64_t n,
       if (valid < fsz)
         memset((float*)af->data[0] + valid, 0, (fsz - valid) * sizeof(float));
       af->pts = pos;
-      avcodec_send_frame(ac, af);
+      while (avcodec_send_frame(ac, af) == AVERROR(EAGAIN)) {
+        while (avcodec_receive_packet(ac, pkt) >= 0) {
+          av_packet_rescale_ts(pkt, ac->time_base, as->time_base);
+          pkt->stream_index = as->index;
+          av_interleaved_write_frame(ofmt, pkt);
+          av_packet_unref(pkt);
+        }
+      }
       while (avcodec_receive_packet(ac, pkt) >= 0) {
         av_packet_rescale_ts(pkt, ac->time_base, as->time_base);
         pkt->stream_index = as->index;
