@@ -21,6 +21,10 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
     import jax
     import jax.numpy as jnp
 
+    from actalker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from actalker_tpu.io import weights as W
     from actalker_tpu.io.init import init_pipeline_params
     from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules

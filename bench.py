@@ -36,6 +36,9 @@ BASELINE_SEC_PER_STEP = H100_SEC_PER_STEP * TARGET_CHIPS
 
 def main():
     import jax
+    from actalker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import ml_dtypes
     from actalker_tpu.models.conditioning import Conditioning
