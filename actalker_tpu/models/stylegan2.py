@@ -98,7 +98,8 @@ class ModulatedConv2d(nn.Module):
             wmod = wmod * d[:, None, None, None, :]
 
         if self.upsample:
-            p = (len(self.blur_kernel) - k) + (k - 1)
+            # StyleGAN2 padding math for factor-2 transposed conv + blur
+            p = (len(self.blur_kernel) - 2) - (k - 1)
             pad0 = (p + 1) // 2 + 1
             pad1 = p // 2 + 1
             # grouped transposed conv: batch -> feature groups
@@ -115,11 +116,11 @@ class ModulatedConv2d(nn.Module):
             )
             y = y.reshape(y.shape[1], y.shape[2], n, self.features
                           ).transpose(2, 0, 1, 3)
-            y = blur(y, self.blur_kernel, pad=(pad0 - 1, pad1 - 1),
+            y = blur(y, self.blur_kernel, pad=(pad0, pad1),
                      upsample_factor=2)
             return y
         if self.downsample:
-            p = (len(self.blur_kernel) - k) + (k - 1)
+            p = (len(self.blur_kernel) - 2) + (k - 1)
             x = blur(x, self.blur_kernel, pad=((p + 1) // 2, p // 2))
             stride, padding = 2, 0
         else:

@@ -40,6 +40,9 @@ def upfirdn2d(
     # depthwise filter: (kh, kw, 1, C) with feature_group_count = C
     filt = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
     pad0, pad1 = pad
+    # torch's upfirdn2d dilates to in*up (keeps up-1 trailing zeros); XLA's
+    # lhs_dilation yields in*up - (up-1), so fold the difference into pad1.
+    pad1 = pad1 + (up - 1)
     y = lax.conv_general_dilated(
         x,
         filt,

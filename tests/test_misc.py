@@ -75,3 +75,75 @@ def test_metrics_emitter(tmp_path):
 
     assert json.loads(lines[0])["loss"] == 0.5
     assert "seconds" in json.loads(lines[1])
+
+
+def test_teeth_enhancer_identity_at_init():
+    import jax
+    from actalker_tpu.models.teeth import TeethEnhancer
+
+    m = TeethEnhancer(base=8, channel_mults=(1, 2))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3),
+                           minval=-1, maxval=1)
+    params = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_similarity_transform_recovers_rotation():
+    from actalker_tpu.frontend.enhance import similarity_transform
+
+    theta = 0.3
+    R = np.array([[np.cos(theta), -np.sin(theta)],
+                  [np.sin(theta), np.cos(theta)]])
+    src = np.random.default_rng(0).uniform(0, 100, (5, 2))
+    dst = src @ R.T * 1.7 + np.array([5.0, -3.0])
+    mat = similarity_transform(src, dst)
+    got = src @ mat[:, :2].T + mat[:, 2]
+    np.testing.assert_allclose(got, dst, atol=1e-3)
+
+
+def test_stylegan2_generator_runs():
+    import jax
+    from actalker_tpu.models.stylegan2 import GPENGenerator
+
+    g = GPENGenerator(size=32, style_dim=16, n_mlp=2, channel_multiplier=1)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3),
+                           minval=-1, maxval=1)
+    params = g.init(jax.random.PRNGKey(1), x)
+    y = g.apply(params, x)
+    assert y.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_upfirdn2d_matches_manual():
+    import jax.numpy as jnp
+    from actalker_tpu.ops.upfirdn2d import downsample2x, upsample2x
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 8, 2)),
+                    jnp.float32)
+    up = upsample2x(x)
+    assert up.shape == (1, 16, 16, 2)
+    down = downsample2x(up)
+    assert down.shape == (1, 8, 8, 2)
+    # FIR resampling preserves DC exactly
+    const = jnp.ones((1, 8, 8, 2))
+    np.testing.assert_allclose(np.asarray(upsample2x(const))[:, 2:-2, 2:-2],
+                               1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(downsample2x(const))[:, 1:-1, 1:-1],
+                               1.0, rtol=1e-5)
+
+
+def test_rife_interpolation_runs():
+    import jax
+    from actalker_tpu.models.rife import IFNet, interpolate_pairs
+
+    net = IFNet(c=16)
+    f0 = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    f1 = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    params = net.init(jax.random.PRNGKey(2), f0, f1)
+    mid = net.apply(params, f0, f1)
+    assert mid.shape == f0.shape
+    frames = jax.random.uniform(jax.random.PRNGKey(3), (3, 32, 32, 3))
+    out = interpolate_pairs(lambda p, a, b: net.apply(p, a, b), params, frames)
+    assert out.shape == (5, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(frames[0]))
