@@ -102,6 +102,42 @@ class SS2DUnit(nn.Module):
         )
         self.Ds = self.param("Ds", lambda key: jnp.ones((k * d,), jnp.float32))
 
+    def scan_arranged(self, x_a, tm_a=None, lc: int = 64):
+        """Bidirectional scan on a pre-arranged padded buffer.
+
+        x_a: (Lp, Bp, Dp) with Lp % lc == 0, Bp % 8 == 0, Dp % 128 == 0 and
+        zero padding; tm_a: (Lp, Bp) bool activity mask (False rows — pads or
+        mask-deselected tokens — are exact identity steps). Projections run
+        in the arranged layout with zero-padded weights (pad channels are
+        transparent), so no per-direction relayouts or pads occur.
+        """
+        from actalker_tpu.ops.selective_scan_pallas import ssm_scan_arranged
+
+        lp, bp, dp = x_a.shape
+        d = self.d_inner
+        n, rank = self.d_state, self.rank
+        y = jnp.zeros((lp, bp, dp), self.dtype)
+        for k in range(self.num_direction):
+            xw = jnp.pad(self.x_proj_weight[k].astype(self.dtype),
+                         ((0, 0), (0, dp - d)))
+            x_dbl = jnp.einsum("lbd,cd->lbc", x_a, xw)
+            dts = x_dbl[..., :rank]
+            bcm = x_dbl[..., rank:rank + 2 * n]                # B | C packed
+            dtw = jnp.pad(self.dt_projs_weight[k].astype(self.dtype),
+                          ((0, dp - d), (0, 0)))
+            dt_a = jnp.einsum("lbr,dr->lbd", dts, dtw)
+            if tm_a is not None:
+                dt_a = jnp.where(tm_a[:, :, None], dt_a, -1e9)
+            bc_a = jnp.pad(bcm.astype(x_a.dtype),
+                           ((0, 0), (0, 0), (0, 128 - 2 * n)))
+            A = -jnp.exp(self.A_logs[k * d:(k + 1) * d].astype(jnp.float32))
+            yk = ssm_scan_arranged(
+                x_a, dt_a, bc_a, A, self.Ds[k * d:(k + 1) * d],
+                self.dt_projs_bias[k], reverse=(k % 2 == 1), lc=lc,
+            )
+            y = y + yk.astype(self.dtype)
+        return y
+
     def __call__(self, x, transparent_mask=None):
         """x: (B, L, d_inner); transparent_mask: (B, L) bool, False -> the
         token is an identity element of the scan (masked-dense select)."""
@@ -109,11 +145,9 @@ class SS2DUnit(nn.Module):
         n, rank = self.d_state, self.rank
 
         if self.scan_impl == "pallas":
-            # Fast path: arrange once to the kernel's padded (L, B, D)
-            # layout, run projections there, share across both directions —
-            # one transpose in, one out, no per-direction pads.
+            # Arrange once, scan both directions in the arranged layout.
             from actalker_tpu.ops.selective_scan_pallas import (
-                _BT, _pick_lc, _round_up, ssm_scan_arranged,
+                _BT, _pick_lc, _round_up,
             )
 
             dp = _round_up(d, 128)
@@ -122,35 +156,12 @@ class SS2DUnit(nn.Module):
             bp = _round_up(b, _BT)
             x_a = jnp.moveaxis(x, 0, 1)
             x_a = jnp.pad(x_a, ((0, lp - l), (0, bp - b), (0, dp - d)))
-            tm = None
             if transparent_mask is not None:
                 tm = jnp.pad(jnp.moveaxis(transparent_mask, 0, 1),
                              ((0, lp - l), (0, bp - b)))
-            y = jnp.zeros((lp, bp, dp), self.dtype)
-            for k in range(self.num_direction):
-                # padded-weight einsums keep everything in the kernel layout
-                # (zero pad channels are exactly transparent in the scan)
-                xw = jnp.pad(self.x_proj_weight[k].astype(self.dtype),
-                             ((0, 0), (0, dp - d)))
-                x_dbl = jnp.einsum("lbd,cd->lbc", x_a, xw)
-                dts = x_dbl[..., :rank]
-                bcm = x_dbl[..., rank:rank + 2 * n]            # B | C packed
-                dtw = jnp.pad(self.dt_projs_weight[k].astype(self.dtype),
-                              ((0, dp - d), (0, 0)))
-                dt_a = jnp.einsum("lbr,dr->lbd", dts, dtw)
-                if tm is not None:
-                    dt_a = jnp.where(tm[:, :, None], dt_a, -1e9)
-                elif lp != l:
-                    lpad = jnp.zeros((lp, 1, 1), bool).at[:l].set(True)
-                    dt_a = jnp.where(lpad, dt_a, -1e9)
-                bc_a = jnp.pad(bcm.astype(x.dtype),
-                               ((0, 0), (0, 0), (0, 128 - 2 * n)))
-                A = -jnp.exp(self.A_logs[k * d:(k + 1) * d].astype(jnp.float32))
-                yk = ssm_scan_arranged(
-                    x_a, dt_a, bc_a, A, self.Ds[k * d:(k + 1) * d],
-                    self.dt_projs_bias[k], reverse=(k % 2 == 1), lc=lc,
-                )
-                y = y + yk.astype(self.dtype)
+            else:
+                tm = jnp.zeros((lp, 1), bool).at[:l].set(True)
+            y = self.scan_arranged(x_a, tm, lc=lc)
             return jnp.moveaxis(y[:l, :b, :d], 0, 1)
 
         y = jnp.zeros((b, l, d), self.dtype)
@@ -200,6 +211,73 @@ class SS2DCondV10(nn.Module):
         dt_rank = math.ceil(self.d_model / 16)
         id_tok = nn.silu(dense(d_inner, use_bias=False, dtype=self.dtype,
                                name="id_proj")(id_emb))
+
+        def sel_of(mask):
+            if mask is None:
+                return jnp.ones((b, l), bool)
+            m = downsample_ip_mask(mask, l)[..., 0]
+            # reference selects tokens where int(mask) != 0 after the bicubic
+            # downsample, i.e. values that reach 1.0.
+            s = m >= 1.0 - 1e-6
+            return jnp.broadcast_to(s, (b, l)) if s.shape[0] != b else s
+
+        if self.scan_impl == "pallas" and d_inner % 128 == 0:
+            # Arranged fast path: ONE relayout of x per block; both branches
+            # and both scan directions run in the kernel's (L, B, D) layout.
+            from actalker_tpu.ops.selective_scan_pallas import (
+                _BT, _pick_lc, _round_up,
+            )
+
+            bp = _round_up(b, _BT)
+            x_a = jnp.moveaxis(x, 0, 1)
+            if bp != b:
+                x_a = jnp.pad(x_a, ((0, 0), (0, bp - b), (0, 0)))
+            id_a = jnp.moveaxis(
+                jnp.broadcast_to(id_tok, (b,) + id_tok.shape[1:]), 0, 1)
+            if bp != b:
+                id_a = jnp.pad(id_a, ((0, 0), (0, bp - b), (0, 0)))
+
+            def branch_fast(name, proj_name, cond, mask, unit_name):
+                xz_a = dense(d_inner, use_bias=False, dtype=self.dtype,
+                             name=f"in_proj{name}")(x_a)       # (l, bp, dI)
+                cond_tok = nn.silu(dense(d_inner, use_bias=False,
+                                         dtype=self.dtype,
+                                         name=proj_name)(cond))
+                cond_a = jnp.moveaxis(
+                    jnp.broadcast_to(cond_tok, (b,) + cond_tok.shape[1:]), 0, 1)
+                if bp != b:
+                    cond_a = jnp.pad(cond_a, ((0, 0), (0, bp - b), (0, 0)))
+                ntok = id_a.shape[0] + cond_a.shape[0]
+                lfull = l + ntok
+                lc = _pick_lc(64, lfull, d_inner, 128, x.dtype.itemsize)
+                lp = _round_up(lfull, lc)
+                seq = jnp.concatenate([xz_a, id_a, cond_a], axis=0)
+                if lp != lfull:
+                    seq = jnp.pad(seq, ((0, lp - lfull), (0, 0), (0, 0)))
+                sel = sel_of(mask)
+                sel_a = jnp.moveaxis(sel, 0, 1)
+                if bp != b:
+                    sel_a = jnp.pad(sel_a, ((0, 0), (0, bp - b)))
+                tm = jnp.concatenate([
+                    sel_a,
+                    jnp.ones((ntok, bp), bool),
+                    jnp.zeros((lp - lfull, bp), bool),
+                ], axis=0)
+                unit = SS2DUnit(
+                    d_inner, d_state=self.d_state, dt_rank=dt_rank,
+                    scan_impl=self.scan_impl, dtype=self.dtype,
+                    name=unit_name,
+                )
+                y_a = unit.scan_arranged(seq, tm, lc=lc)[:l]
+                return jnp.where(sel_a[:, :, None], y_a, xz_a)
+
+            o1 = branch_fast("1", "audio_proj", audio_cond, audio_mask,
+                             "audio_unit")
+            o2 = branch_fast("2", "exp_proj", exp_cond, exp_mask, "exp_unit")
+            y = LayerNormF32(name="out_norm")(o1 + o2)
+            y = dense(self.d_model, use_bias=False, dtype=self.dtype,
+                      name="out_proj")(y)
+            return jnp.moveaxis(y[:, :b], 0, 1)
 
         def branch(name, proj_name, cond, mask):
             xz = dense(d_inner, use_bias=False, dtype=self.dtype,

@@ -264,3 +264,21 @@ def test_ssm_unit_pallas_path_matches_blocked():
     y_p = unit_p.apply(params, x, transparent_mask=keep)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_b), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_ss2d_cond_v10_pallas_fast_path_matches_blocked():
+    b, l, c, dc = 2, 20, 64, 12  # d_inner = 128 -> fast path eligible
+    x = jax.random.normal(KEY, (b, l, c))
+    id_emb = jax.random.normal(KEY, (b, 1, dc))
+    audio = jax.random.normal(KEY, (b, 4, dc))
+    exp = jax.random.normal(KEY, (b, 1, dc))
+    mask = np.zeros((1, 1, 8, 8), np.float32)
+    mask[:, :, 2:7, 2:7] = 1.0
+    mask = jnp.asarray(mask)
+    blk_b = SS2DCondV10(d_model=c, d_cond=dc, d_state=4, scan_impl="blocked")
+    params = blk_b.init(KEY, x, id_emb, audio, exp, mask, mask)
+    blk_p = SS2DCondV10(d_model=c, d_cond=dc, d_state=4, scan_impl="pallas")
+    y_b = blk_b.apply(params, x, id_emb, audio, exp, mask, mask)
+    y_p = blk_p.apply(params, x, id_emb, audio, exp, mask, mask)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_b), rtol=3e-4,
+                               atol=3e-4)
