@@ -89,8 +89,7 @@ def _ssm_kernel(u_ref, dt_ref, A_ref, BC_ref, Dskip_ref, bias_ref,
 
     h0 = tuple(h_scr[:, n * dp:(n + 1) * dp] for n in range(n_state))
 
-    def step(t, h):
-        i = (lc - 1 - t) if reverse else t
+    def one_token(i, h):
         u_t = u_ref[pl.ds(i, 1)][0].astype(jnp.float32)       # (8, Dp)
         dt_t = jax.nn.softplus(
             dt_ref[pl.ds(i, 1)][0].astype(jnp.float32) + bias
@@ -107,7 +106,22 @@ def _ssm_kernel(u_ref, dt_ref, A_ref, BC_ref, Dskip_ref, bias_ref,
         y_ref[pl.ds(i, 1)] = y[None].astype(y_ref.dtype)
         return tuple(hs)
 
-    h = jax.lax.fori_loop(0, lc, step, h0)
+    # 2-token unroll: amortizes loop control and lets the scheduler overlap
+    # the two tokens' exp pipelines (the h-update fma chain is the only
+    # cross-token dependency).
+    assert lc % 2 == 0, lc
+
+    def step(t2, h):
+        t = t2 * 2
+        if reverse:
+            h = one_token(lc - 1 - t, h)
+            h = one_token(lc - 2 - t, h)
+        else:
+            h = one_token(t, h)
+            h = one_token(t + 1, h)
+        return h
+
+    h = jax.lax.fori_loop(0, lc // 2, step, h0)
     for n in range(n_state):
         h_scr[:, n * dp:(n + 1) * dp] = h[n]
 
@@ -116,7 +130,8 @@ def _pick_lc(lc, l, dp, np_, itemsize):
     budget = 8 * 2**20
     per_row = _BT * (3 * dp + np_) * itemsize * 2
     lc_fit = max(8, budget // per_row)
-    return max(1, min(lc, lc_fit, _round_up(l, 8)))
+    picked = max(2, min(lc, lc_fit, _round_up(l, 8)))
+    return picked - (picked % 2)  # kernel unrolls 2 tokens per step
 
 
 @functools.partial(jax.jit, static_argnames=("reverse", "lc", "orig_l"))
