@@ -57,6 +57,17 @@ def rotate_checkpoints(directory: str, total_limit: int) -> None:
                       ignore_errors=True)
 
 
+def checkpoint_keys(directory: str, step: int):
+    """Top-level keys of a saved checkpoint (e.g. to detect optional EMA
+    state before building a restore target — orbax requires the target tree
+    to match the on-disk structure exactly)."""
+    ocp = _ocp()
+    path = os.path.join(os.path.abspath(directory), f"checkpoint-{step}")
+    meta = ocp.StandardCheckpointer().metadata(path)
+    tree = getattr(meta, "item_metadata", meta)
+    return list(tree.keys())
+
+
 def restore_checkpoint(directory: str, step: Optional[int] = None,
                        target: Optional[Any] = None) -> Any:
     """Restore; ``step=None`` picks the latest (reference auto-discovery)."""

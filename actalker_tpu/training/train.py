@@ -45,6 +45,51 @@ def synthetic_batches(batch_size: int, frames: int, latent_hw: int,
         )
 
 
+def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
+                 dtype) -> Iterator:
+    """Metadata-driven training batches: dataset -> encoders -> TrainBatch.
+
+    Encoder weights (VAE / pose guider / id proj) come from configured
+    checkpoints via the CLI converters when available; here they are whatever
+    the pipeline params hold (random for from-scratch feasibility runs —
+    fine-tuning real SVD weights requires the converted checkpoint set).
+    """
+    import jax
+
+    from actalker_tpu.frontend import video as V
+    from actalker_tpu.io.init import init_pipeline_params
+    from actalker_tpu.models.vae import VAEConfig
+    from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
+    from actalker_tpu.training.batch_builder import BatchBuilder
+    from actalker_tpu.training.data import DataConfig, PortraitAudioDataset, load_metadata
+
+    modules = PipelineModules.create(unet_config=ucfg, vae_config=VAEConfig(),
+                                     dtype=dtype)
+    params = init_pipeline_params(
+        modules, jax.random.PRNGKey(0),
+        image_size=(image_size, image_size),
+        latent_size=(image_size // 8, image_size // 8),
+        use_eval_shape=True,
+    )
+    pipe = ACTalkerPipeline(modules, params, dtype=dtype)
+    builder = BatchBuilder(pipe)
+
+    def frame_reader(path, idxs):
+        fr = V.read_frames(path, limit=max(idxs) + 1)
+        return fr[list(idxs)]
+
+    ds = PortraitAudioDataset(
+        load_metadata(metadata_paths),
+        DataConfig(n_sample_frames=frames, image_size=image_size),
+        frame_reader,
+    )
+    i = 0
+    while True:
+        samples = [ds[(i + j) % len(ds)] for j in range(batch_size)]
+        i += batch_size
+        yield builder(samples)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="configs/train.yaml")
@@ -70,7 +115,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from actalker_tpu.io.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+    from actalker_tpu.io.checkpoint import (
+        checkpoint_keys, latest_checkpoint, restore_checkpoint, save_checkpoint)
     from actalker_tpu.io.init import random_like
     from actalker_tpu.models.conditioning import Conditioning
     from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
@@ -104,10 +150,11 @@ def main(argv=None):
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     unet = UNetSpatioTemporalCondition(ucfg, dtype=dtype)
 
-    latent_hw = (image_size // 8) if not args.micro_model else 8
     if args.micro_model:
+        image_size = 64
         frames = min(frames, 2)
         batch_size = max(batch_size, dp)
+    latent_hw = image_size // 8
     c0 = ucfg.block_out_channels[0]
 
     cond = Conditioning(
@@ -137,12 +184,20 @@ def main(argv=None):
     with jax.set_mesh(mesh):
         params = shard_params(params, mesh)
         opt_state = tx.init(params)
+        use_ema = bool(cfg.get("use_ema", False))
+        ema_restored = None
         last = latest_checkpoint(out_dir)
         if last is not None:
             log.info("resuming from checkpoint-%d", last)
-            restored = restore_checkpoint(out_dir, last,
-                                          target={"params": params})
+            target = {"params": params}
+            if "ema" in checkpoint_keys(out_dir, last):
+                target["ema"] = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, jnp.float32,
+                                                   sharding=x.sharding),
+                    params)
+            restored = restore_checkpoint(out_dir, last, target=target)
             params = restored["params"]
+            ema_restored = restored.get("ema")
             start_step = last
 
         jstep = jax.jit(step_fn)
@@ -152,11 +207,33 @@ def main(argv=None):
 
         if args.synthetic:
             batches = synthetic_batches(batch_size, frames, latent_hw, c0)
+        elif args.metadata:
+            batches = real_batches(
+                args.metadata, batch_size, frames, image_size, ucfg, dtype)
         else:
             raise SystemExit(
-                "real-data training needs --metadata clip JSONs plus media; "
-                "use --synthetic N for smoke runs"
+                "provide --metadata clip JSONs (real data) or --synthetic N "
+                "(smoke runs)"
             )
+
+        ema_params = None
+        if use_ema:
+            from actalker_tpu.training.ema import ema_init, ema_update
+
+            if ema_restored is not None:
+                ema_params = ema_restored
+            else:
+                if start_step:
+                    log.warning("checkpoint-%d has no EMA state; "
+                                "seeding EMA from params", start_step)
+                ema_params = ema_init(params)
+            jema = jax.jit(ema_update)
+
+        def ckpt_tree():
+            t = {"params": params}
+            if use_ema:
+                t["ema"] = ema_params
+            return t
 
         key = jax.random.PRNGKey(0)
         t0 = time.time()
@@ -165,16 +242,18 @@ def main(argv=None):
             batch = shard_batch(next(batches), mesh)
             key, k = jax.random.split(key)
             params, opt_state, metrics = jstep(params, opt_state, batch, k)
+            if use_ema:
+                ema_params = jema(ema_params, params)
             if step % 10 == 0 or step == start_step:
                 loss = float(metrics["loss"])
                 emitter.emit(step=step, loss=loss,
                              sec_per_step=(time.time() - t0) / max(step - start_step, 1))
                 log.info("step %d loss %.4f", step, loss)
             if ckpt_every and (step + 1) % ckpt_every == 0:
-                save_checkpoint(out_dir, step + 1, {"params": params},
+                save_checkpoint(out_dir, step + 1, ckpt_tree(),
                                 total_limit=total_limit)
         save_checkpoint(out_dir, min(start_step + (args.synthetic or 0),
-                                     max_steps), {"params": params},
+                                     max_steps), ckpt_tree(),
                         total_limit=total_limit)
     log.info("done")
 

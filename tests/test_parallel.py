@@ -121,3 +121,20 @@ def test_grad_accumulation():
         np.asarray(jax.tree.leaves(p)[0]),
         np.asarray(jax.tree.leaves(params)[0]),
     )
+
+
+def test_ema_update():
+    from actalker_tpu.training.ema import ema_init, ema_update
+
+    p = {"w": jnp.ones((3,))}
+    e = ema_init(p)
+    p2 = {"w": jnp.zeros((3,))}
+    e = ema_update(e, p2, decay=0.9)
+    np.testing.assert_allclose(np.asarray(e["w"]), 0.9)
+
+
+def test_distributed_noop_single_host():
+    from actalker_tpu.parallel.distributed import init_distributed, local_batch_slice
+
+    assert init_distributed() is False  # single-process env: no-op
+    assert local_batch_slice(8) == slice(0, 8)
