@@ -27,11 +27,13 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
 
     from actalker_tpu.io import weights as W
     from actalker_tpu.io.init import init_pipeline_params
+    from actalker_tpu.models.unet import UNetConfig
     from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
 
     dtype = {"fp16": jnp.bfloat16, "bf16": jnp.bfloat16,
              "fp32": jnp.float32}[cfg.weight_dtype]
-    modules = PipelineModules.create(dtype=dtype,
+    ucfg = UNetConfig(ablate=tuple(cfg.ablate))
+    modules = PipelineModules.create(unet_config=ucfg, dtype=dtype,
                                      vasa_expression_dim=cfg.vasa_expression_dim)
 
     def have(p):

@@ -44,6 +44,10 @@ class InferenceConfig:
     use_teeth_enhance: bool = False
     seed: Optional[int] = 72589
     weight_dtype: str = "bf16"
+    # model-variant selection: the reference picks _wo_* ablation UNets via
+    # the config's unet class key; here any subset of
+    # {"audio", "vasa", "id", "ssd", "cross_attn"}
+    ablate: Tuple[str, ...] = ()
     # paths
     pretrained_model_name_or_path: str = ""
     unet_checkpoint_path: str = ""
@@ -76,6 +80,8 @@ class InferenceConfig:
         model_paths = raw.pop("model_paths", {}) or {}
         if "whisper_model" in model_paths:
             raw["whisper_model"] = model_paths["whisper_model"]
+        if "ablate" in raw:
+            raw["ablate"] = tuple(raw["ablate"] or ())
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in raw.items() if k in fields}
         extras = {k: v for k, v in raw.items() if k not in fields}

@@ -187,13 +187,27 @@ class SS2DUnit(nn.Module):
 
 
 class SS2DCondV10(nn.Module):
-    """Masked-select dual-branch SSM control block (production variant)."""
+    """Masked-select dual-branch SSM control block (production variant).
+
+    The ablation flags reproduce the reference's variant lineage as config
+    instead of file copies (``mamba_layer.py``: ``SS2D_cond_v10_wo_id``
+    1988-2070 drops the identity tokens; ``SS2D_cond_v4_wo_ssd`` 1316-1392
+    skips the scan; the ``_wo_audio`` UNet variants drop the audio branch):
+      use_id=False   -> no identity tokens prepended to the scan sequence
+      use_audio=False-> audio branch removed (exp branch only)
+      use_exp=False  -> expression branch removed (audio branch only)
+      no_scan=False  -> branch output is the input projection (scan skipped)
+    """
 
     d_model: int
     d_cond: int = 1024
     d_state: int = 16
     expand: int = 2
     scan_impl: str = "pallas"
+    use_id: bool = True
+    use_audio: bool = True
+    use_exp: bool = True
+    no_scan: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -209,8 +223,12 @@ class SS2DCondV10(nn.Module):
         b, l, c = x.shape
         d_inner = self.expand * self.d_model
         dt_rank = math.ceil(self.d_model / 16)
-        id_tok = nn.silu(dense(d_inner, use_bias=False, dtype=self.dtype,
-                               name="id_proj")(id_emb))
+        assert self.use_audio or self.use_exp, \
+            "cannot ablate both the audio and expression branches"
+        id_tok = None
+        if self.use_id:
+            id_tok = nn.silu(dense(d_inner, use_bias=False, dtype=self.dtype,
+                                   name="id_proj")(id_emb))
 
         def sel_of(mask):
             if mask is None:
@@ -220,6 +238,18 @@ class SS2DCondV10(nn.Module):
             # downsample, i.e. values that reach 1.0.
             s = m >= 1.0 - 1e-6
             return jnp.broadcast_to(s, (b, l)) if s.shape[0] != b else s
+
+        if self.no_scan:
+            outs = []
+            if self.use_audio:
+                outs.append(dense(d_inner, use_bias=False, dtype=self.dtype,
+                                  name="in_proj1")(x))
+            if self.use_exp:
+                outs.append(dense(d_inner, use_bias=False, dtype=self.dtype,
+                                  name="in_proj2")(x))
+            y = LayerNormF32(name="out_norm")(sum(outs))
+            return dense(self.d_model, use_bias=False, dtype=self.dtype,
+                         name="out_proj")(y)
 
         if self.scan_impl == "pallas" and d_inner % 128 == 0:
             # Arranged fast path: ONE relayout of x per block; both branches
@@ -232,10 +262,12 @@ class SS2DCondV10(nn.Module):
             x_a = jnp.moveaxis(x, 0, 1)
             if bp != b:
                 x_a = jnp.pad(x_a, ((0, 0), (0, bp - b), (0, 0)))
-            id_a = jnp.moveaxis(
-                jnp.broadcast_to(id_tok, (b,) + id_tok.shape[1:]), 0, 1)
-            if bp != b:
-                id_a = jnp.pad(id_a, ((0, 0), (0, bp - b), (0, 0)))
+            id_a = None
+            if id_tok is not None:
+                id_a = jnp.moveaxis(
+                    jnp.broadcast_to(id_tok, (b,) + id_tok.shape[1:]), 0, 1)
+                if bp != b:
+                    id_a = jnp.pad(id_a, ((0, 0), (0, bp - b), (0, 0)))
 
             def branch_fast(name, proj_name, cond, mask, unit_name):
                 xz_a = dense(d_inner, use_bias=False, dtype=self.dtype,
@@ -247,11 +279,12 @@ class SS2DCondV10(nn.Module):
                     jnp.broadcast_to(cond_tok, (b,) + cond_tok.shape[1:]), 0, 1)
                 if bp != b:
                     cond_a = jnp.pad(cond_a, ((0, 0), (0, bp - b), (0, 0)))
-                ntok = id_a.shape[0] + cond_a.shape[0]
+                extra = ([id_a] if id_a is not None else []) + [cond_a]
+                ntok = sum(t.shape[0] for t in extra)
                 lfull = l + ntok
                 lc = _pick_lc(64, lfull, d_inner, 128, x.dtype.itemsize)
                 lp = _round_up(lfull, lc)
-                seq = jnp.concatenate([xz_a, id_a, cond_a], axis=0)
+                seq = jnp.concatenate([xz_a] + extra, axis=0)
                 if lp != lfull:
                     seq = jnp.pad(seq, ((0, lp - lfull), (0, 0), (0, 0)))
                 sel = sel_of(mask)
@@ -271,10 +304,14 @@ class SS2DCondV10(nn.Module):
                 y_a = unit.scan_arranged(seq, tm, lc=lc)[:l]
                 return jnp.where(sel_a[:, :, None], y_a, xz_a)
 
-            o1 = branch_fast("1", "audio_proj", audio_cond, audio_mask,
-                             "audio_unit")
-            o2 = branch_fast("2", "exp_proj", exp_cond, exp_mask, "exp_unit")
-            y = LayerNormF32(name="out_norm")(o1 + o2)
+            outs = []
+            if self.use_audio:
+                outs.append(branch_fast("1", "audio_proj", audio_cond,
+                                        audio_mask, "audio_unit"))
+            if self.use_exp:
+                outs.append(branch_fast("2", "exp_proj", exp_cond, exp_mask,
+                                        "exp_unit"))
+            y = LayerNormF32(name="out_norm")(sum(outs))
             y = dense(self.d_model, use_bias=False, dtype=self.dtype,
                       name="out_proj")(y)
             return jnp.moveaxis(y[:, :b], 0, 1)
@@ -293,11 +330,11 @@ class SS2DCondV10(nn.Module):
                 sel = m >= 1.0 - 1e-6
                 if sel.shape[0] != b:
                     sel = jnp.broadcast_to(sel, (b, l))
-            ntok = id_tok.shape[1] + cond_tok.shape[1]
-            seq = jnp.concatenate(
-                [xz, jnp.broadcast_to(id_tok, (b,) + id_tok.shape[1:]),
-                 jnp.broadcast_to(cond_tok, (b,) + cond_tok.shape[1:])], axis=1
-            )
+            extra = [] if id_tok is None else [
+                jnp.broadcast_to(id_tok, (b,) + id_tok.shape[1:])]
+            extra.append(jnp.broadcast_to(cond_tok, (b,) + cond_tok.shape[1:]))
+            ntok = sum(t.shape[1] for t in extra)
+            seq = jnp.concatenate([xz] + extra, axis=1)
             tmask = jnp.concatenate(
                 [sel, jnp.ones((b, ntok), bool)], axis=1
             )
@@ -308,8 +345,11 @@ class SS2DCondV10(nn.Module):
             )(seq, transparent_mask=tmask)
             return jnp.where(sel[:, :, None], y[:, :l], xz)
 
-        xz1 = branch("1", "audio_proj", audio_cond, audio_mask)
-        xz2 = branch("2", "exp_proj", exp_cond, exp_mask)
-        y = LayerNormF32(name="out_norm")(xz1 + xz2)
+        outs = []
+        if self.use_audio:
+            outs.append(branch("1", "audio_proj", audio_cond, audio_mask))
+        if self.use_exp:
+            outs.append(branch("2", "exp_proj", exp_cond, exp_mask))
+        y = LayerNormF32(name="out_norm")(sum(outs))
         return dense(self.d_model, use_bias=False, dtype=self.dtype,
                      name="out_proj")(y)

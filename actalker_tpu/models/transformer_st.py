@@ -20,7 +20,7 @@ repeating it per spatial position.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -41,12 +41,17 @@ from actalker_tpu.models.ssm import SS2DCondV10
 
 
 class TransformerSpatioTemporal(nn.Module):
+    """``ablate`` reproduces the reference's ``_wo_*`` variant lineage
+    (17 UNet / 12 transformer file copies, SURVEY.md section 2) as config:
+    any subset of {"audio", "vasa", "id", "ssd", "cross_attn"}."""
+
     heads: int
     head_dim: int
     context_dim: int = 1024
     num_layers: int = 1
     use_mamba: bool = False
     scan_impl: str = "pallas"
+    ablate: Tuple[str, ...] = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -71,34 +76,54 @@ class TransformerSpatioTemporal(nn.Module):
         emb = emb[:, None, :]
 
         pooled = cond.pooled_over_frames(f)
-        masks = [cond.audio_mask, cond.exp_mask]
+        use_audio = "audio" not in self.ablate
+        use_vasa = "vasa" not in self.ablate
+        use_ca = "cross_attn" not in self.ablate
+        ctx_dim = self.context_dim if use_ca else None
+
+        def adapters(c):
+            toks, scales, msks = [], [], []
+            if use_audio:
+                toks.append(c.audio_tokens)
+                scales.append(cond.ip_scales[0])
+                msks.append(cond.audio_mask)
+            if use_vasa:
+                toks.append(c.vasa_tokens)
+                scales.append(cond.ip_scales[1])
+                msks.append(cond.exp_mask)
+            return toks, tuple(scales), msks
+
+        ip_toks, ip_scales, ip_masks = adapters(cond)
+        pool_toks, _, _ = adapters(pooled)
 
         for i in range(self.num_layers):
             h = BasicTransformerBlock(
-                self.heads, self.head_dim, context_dim=self.context_dim,
-                num_adapters=2, dtype=self.dtype, name=f"block_{i}",
+                self.heads, self.head_dim, context_dim=ctx_dim,
+                num_adapters=len(ip_toks), dtype=self.dtype, name=f"block_{i}",
             )(
-                h, context=cond.id_tokens,
-                ip_contexts=[cond.audio_tokens, cond.vasa_tokens],
-                ip_scales=cond.ip_scales, ip_masks=masks,
+                h, context=cond.id_tokens, ip_contexts=ip_toks,
+                ip_scales=ip_scales, ip_masks=ip_masks,
             )
             if self.use_mamba:
                 h = SS2DCondV10(
                     d_model=inner, d_cond=self.context_dim,
-                    scan_impl=self.scan_impl, dtype=self.dtype,
-                    name=f"mamba_{i}",
+                    scan_impl=self.scan_impl,
+                    use_id="id" not in self.ablate,
+                    use_audio=use_audio, use_exp=use_vasa,
+                    no_scan="ssd" in self.ablate,
+                    dtype=self.dtype, name=f"mamba_{i}",
                 )(
                     h, cond.id_tokens, cond.audio_tokens, cond.vasa_tokens,
                     cond.audio_mask, cond.exp_mask,
                 )
             mix = h + emb
             mix = TemporalBasicTransformerBlock(
-                self.heads, self.head_dim, context_dim=self.context_dim,
-                num_adapters=2, dtype=self.dtype, name=f"temporal_block_{i}",
+                self.heads, self.head_dim, context_dim=ctx_dim,
+                num_adapters=len(ip_toks), dtype=self.dtype,
+                name=f"temporal_block_{i}",
             )(
-                mix, f, context=pooled.id_tokens,
-                ip_contexts=[pooled.audio_tokens, pooled.vasa_tokens],
-                ip_scales=cond.ip_scales,
+                mix, f, context=pooled.id_tokens, ip_contexts=pool_toks,
+                ip_scales=ip_scales,
             )
             h = AlphaBlender(name=f"time_mixer_{i}")(
                 h, mix, image_only_indicator

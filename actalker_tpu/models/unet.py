@@ -59,6 +59,10 @@ class UNetConfig:
     transformer_layers_per_block: int = 1
     use_mamba: bool = True
     scan_impl: str = "pallas"
+    # Reference ablation lineage (_wo_audio/_wo_id/_wo_ssd/_wo_cross_attn
+    # UNet file copies, SURVEY.md section 2) as config: any subset of
+    # {"audio", "vasa", "id", "ssd", "cross_attn"}.
+    ablate: Tuple[str, ...] = ()
 
     def tiny(self) -> "UNetConfig":
         """A scaled-down config for tests/smoke runs."""
@@ -138,8 +142,8 @@ class UNetSpatioTemporalCondition(nn.Module):
                     transformer_layers=cfg.transformer_layers_per_block,
                     context_dim=cfg.cross_attention_dim,
                     add_downsample=not is_final, use_mamba=cfg.use_mamba,
-                    scan_impl=cfg.scan_impl, dtype=self.dtype,
-                    name=f"down_blocks_{i}",
+                    scan_impl=cfg.scan_impl, ablate=cfg.ablate,
+                    dtype=self.dtype, name=f"down_blocks_{i}",
                 )(h, emb, cond, image_only_indicator)
             else:
                 h, states = DownBlockSpatioTemporal(
@@ -152,8 +156,8 @@ class UNetSpatioTemporalCondition(nn.Module):
         h = UNetMidBlockSpatioTemporal(
             cfg.block_out_channels[-1], cfg.num_attention_heads[-1],
             transformer_layers=cfg.transformer_layers_per_block,
-            context_dim=cfg.cross_attention_dim, dtype=self.dtype,
-            name="mid_block",
+            context_dim=cfg.cross_attention_dim, ablate=cfg.ablate,
+            dtype=self.dtype, name="mid_block",
         )(h, emb, cond, image_only_indicator)
 
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -168,8 +172,8 @@ class UNetSpatioTemporalCondition(nn.Module):
                     transformer_layers=cfg.transformer_layers_per_block,
                     context_dim=cfg.cross_attention_dim,
                     add_upsample=not is_final, use_mamba=cfg.use_mamba,
-                    scan_impl=cfg.scan_impl, dtype=self.dtype,
-                    name=f"up_blocks_{i}",
+                    scan_impl=cfg.scan_impl, ablate=cfg.ablate,
+                    dtype=self.dtype, name=f"up_blocks_{i}",
                 )(h, res_states, emb, cond, image_only_indicator)
             else:
                 h = UpBlockSpatioTemporal(

@@ -62,6 +62,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     add_downsample: bool = True
     use_mamba: bool = True
     scan_impl: str = "pallas"
+    ablate: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -75,7 +76,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
                 self.heads, self.out_channels // self.heads,
                 context_dim=self.context_dim, num_layers=self.transformer_layers,
                 use_mamba=self.use_mamba, scan_impl=self.scan_impl,
-                dtype=self.dtype, name=f"attention_{i}",
+                ablate=self.ablate, dtype=self.dtype, name=f"attention_{i}",
             )(x, cond, image_only_indicator)
             states.append(x)
         if self.add_downsample:
@@ -90,6 +91,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
     heads: int
     transformer_layers: int = 1
     context_dim: int = 1024
+    ablate: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,7 +102,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
         x = TransformerSpatioTemporal(
             self.heads, self.channels // self.heads, context_dim=self.context_dim,
             num_layers=self.transformer_layers, use_mamba=False,
-            dtype=self.dtype, name="attention_0",
+            ablate=self.ablate, dtype=self.dtype, name="attention_0",
         )(x, cond, image_only_indicator)
         x = SpatioTemporalResBlock(
             self.channels, eps=1e-5, dtype=self.dtype, name="resnet_1"
@@ -136,6 +138,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     add_upsample: bool = True
     use_mamba: bool = True
     scan_impl: str = "pallas"
+    ablate: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -150,7 +153,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
                 self.heads, self.out_channels // self.heads,
                 context_dim=self.context_dim, num_layers=self.transformer_layers,
                 use_mamba=self.use_mamba, scan_impl=self.scan_impl,
-                dtype=self.dtype, name=f"attention_{i}",
+                ablate=self.ablate, dtype=self.dtype, name=f"attention_{i}",
             )(x, cond, image_only_indicator)
         if self.add_upsample:
             x = _spatial(x, Upsample2D(self.out_channels, dtype=self.dtype,

@@ -144,7 +144,8 @@ def main(argv=None):
     log.info("mesh dp=%d tp=%d devices=%d", dp, tp, n_dev)
 
     ucfg = UNetConfig(scan_impl="pallas" if jax.default_backend() == "tpu"
-                      else "blocked")
+                      else "blocked",
+                      ablate=tuple(cfg.get("ablate", ()) or ()))
     if args.micro_model:
         ucfg = ucfg.micro()
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

@@ -3,6 +3,7 @@ standard pieces (GroupNorm/attention/GEGLU)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import dataclasses
 import pytest
 
 from actalker_tpu.models.attention_blocks import (
@@ -282,3 +283,37 @@ def test_ss2d_cond_v10_pallas_fast_path_matches_blocked():
     y_p = blk_p.apply(params, x, id_emb, audio, exp, mask, mask)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_b), rtol=3e-4,
                                atol=3e-4)
+
+
+@pytest.mark.parametrize("ablate", [
+    ("audio",), ("vasa",), ("id",), ("ssd",), ("cross_attn",),
+    ("audio", "id"),
+])
+def test_unet_ablation_variants(ablate):
+    """Config-driven counterparts of the reference's _wo_* UNet/transformer
+    file copies (SURVEY.md section 2): each variant must build and run, and
+    its parameter tree must actually drop the ablated component."""
+    cfg = dataclasses.replace(UNetConfig(scan_impl="blocked").micro(),
+                              ablate=ablate)
+    unet = UNetSpatioTemporalCondition(cfg)
+    b, f, hh, ww = 1, 2, 16, 16
+    sample = jax.random.normal(KEY, (b, f, hh, ww, 8))
+    cond = make_cond(bf=b * f, d_cond=1024, hw=hh)
+    tids = jnp.array([[6.0, 127.0, 127.0]])
+    params = unet.init(KEY, sample, 0.5, cond, tids)
+    y = unet.apply(params, sample, 0.5, cond, tids)
+    assert y.shape == (b, f, hh, ww, 4)
+    assert np.isfinite(np.asarray(y)).all()
+
+    flat = "\n".join("/".join(str(k) for k in p)
+                     for p, _ in jax.tree_util.tree_flatten_with_path(params)[0])
+    if "audio" in ablate:
+        assert "audio_unit" not in flat and "in_proj1" not in flat
+    if "id" in ablate:
+        assert "id_proj" not in flat
+    if "ssd" in ablate:
+        assert "A_logs" not in flat  # no scan params anywhere
+    if "cross_attn" in ablate:
+        assert "attn2" not in flat
+    if ablate == ():
+        assert "attn2" in flat and "A_logs" in flat
