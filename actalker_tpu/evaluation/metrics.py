@@ -150,3 +150,19 @@ def sync_scores(
     offset = idx - vshift
     conf = float(np.median(dists) - dists[idx])
     return offset, conf, float(dists[idx])
+
+
+def lpips(a: np.ndarray, b: np.ndarray, params) -> float:
+    """Mean LPIPS over frame pairs; frames (N, H, W, 3) in [0, 1].
+
+    ``params`` are LPIPSAlex weights (``evaluation/lpips.py``), converted
+    from a torch ``lpips`` checkpoint with ``convert_lpips``. Counterpart of
+    the reference's ``utils/image_level_evaluation.py:12-50``.
+    """
+    import jax.numpy as jnp
+
+    from actalker_tpu.evaluation.lpips import lpips_distance
+
+    d = lpips_distance(params, jnp.asarray(a) * 2.0 - 1.0,
+                       jnp.asarray(b) * 2.0 - 1.0)
+    return float(np.asarray(d).mean())

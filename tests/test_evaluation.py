@@ -1,5 +1,6 @@
 """Evaluation harness tests (weight-free mechanics)."""
 import numpy as np
+import jax.numpy as jnp
 
 from actalker_tpu.evaluation import metrics as M
 
@@ -60,3 +61,67 @@ def test_sync_scores_recovers_offset():
     assert abs(offset) == shift
     assert conf > 0.5
     assert dist < 1e-6
+
+
+def test_lpips_alex_matches_torch_oracle():
+    """LPIPSAlex + convert_lpips vs an independent torch implementation of
+    lpips.LPIPS(net='alex') (scaling layer -> AlexNet relu features ->
+    channel-unit-norm -> squared diff -> 1x1 lin head -> spatial mean)."""
+    import torch
+    import torch.nn.functional as F
+
+    from actalker_tpu.evaluation.lpips import convert_lpips, lpips_distance
+
+    torch.manual_seed(0)
+    specs = [(3, 64, 11, 4, 2), (64, 192, 5, 1, 2), (192, 384, 3, 1, 1),
+             (384, 256, 3, 1, 1), (256, 256, 3, 1, 1)]
+    feat_idx = [0, 3, 6, 8, 10]
+    sd = {}
+    for i, (ci, co, k, s, p) in enumerate(specs):
+        sd[f"features.{feat_idx[i]}.weight"] = torch.randn(co, ci, k, k) * 0.05
+        sd[f"features.{feat_idx[i]}.bias"] = torch.randn(co) * 0.05
+        sd[f"lin{i}.model.1.weight"] = torch.rand(1, co, 1, 1)
+
+    def torch_lpips(x, y):
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def feats(img):
+            h = (img - shift) / scale
+            out = []
+            for i, (ci, co, k, s, p) in enumerate(specs):
+                if i in (1, 2):
+                    h = F.max_pool2d(h, 3, stride=2)
+                h = F.conv2d(h, sd[f"features.{feat_idx[i]}.weight"],
+                             sd[f"features.{feat_idx[i]}.bias"],
+                             stride=s, padding=p)
+                h = F.relu(h)
+                out.append(h)
+            return out
+
+        total = 0.0
+        for i, (a, b) in enumerate(zip(feats(x), feats(y))):
+            a = a / torch.sqrt((a * a).sum(1, keepdim=True) + 1e-10)
+            b = b / torch.sqrt((b * b).sum(1, keepdim=True) + 1e-10)
+            d = (a - b) ** 2
+            w = sd[f"lin{i}.model.1.weight"]
+            total = total + F.conv2d(d, w).mean(dim=(2, 3)).squeeze(1)
+        return total
+
+    x = torch.rand(2, 3, 64, 64) * 2 - 1
+    y = torch.rand(2, 3, 64, 64) * 2 - 1
+    ref = torch_lpips(x, y).numpy()
+
+    params = convert_lpips(sd)
+    got = np.asarray(lpips_distance(
+        params,
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(y.permute(0, 2, 3, 1).numpy()),
+    ))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+    assert (got > 0).all() and np.isfinite(got).all()
+    # identity pairs score ~0
+    same = np.asarray(lpips_distance(
+        params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy())))
+    assert (np.abs(same) < 1e-6).all()
