@@ -105,3 +105,53 @@ def test_dataset_retry_on_bad_clip():
     )
     s = ds[0]  # falls through to the good clip
     assert s["frames"].shape[0] == 8
+
+
+def test_pose_draw_skeleton():
+    """Skeleton renderer: limbs use the OpenPose palette and dim to 0.6,
+    keypoints overdraw at full confidence, hands/face land where expected."""
+    from actalker_tpu.frontend import pose_draw as P
+
+    rng = np.random.default_rng(0)
+    cand = rng.uniform(0.2, 0.8, (18, 2))
+    pose = {
+        "bodies": {"candidate": cand,
+                   "subset": np.arange(18, dtype=float)[None],
+                   "score": np.ones((1, 18))},
+        "hands": rng.uniform(0.3, 0.7, (2, 21, 2)),
+        "hands_score": np.ones((2, 21)),
+        "faces": rng.uniform(0.4, 0.6, (1, 68, 2)),
+        "faces_score": np.ones((1, 68)),
+    }
+    img = P.draw_pose(pose, 128, 96)
+    assert img.shape == (3, 128, 96) and img.dtype == np.uint8
+    assert img.max() > 200 and (img > 0).mean() > 0.005
+    # keypoint 0 disc drawn at (x*w, y*h) in full color [255, 0, 0]
+    x, y = int(cand[0, 0] * 96), int(cand[0, 1] * 128)
+    assert img[0, y, x] == 255 and img[2, y, x] == 0
+    # low-confidence limbs are skipped entirely
+    pose["bodies"]["score"] = np.full((1, 18), 0.1)
+    pose["hands_score"] = np.zeros((2, 21))
+    pose["faces_score"] = np.zeros((1, 68))
+    faint = P.draw_pose(pose, 128, 96)
+    assert faint.max() <= 26  # only 0.1-alpha keypoint discs remain
+
+
+def test_pose_rescale_sequence():
+    """The polyfit rescale maps a shifted/scaled sequence back onto the
+    reference body exactly (it's an affine fit of an affine distortion)."""
+    from actalker_tpu.frontend import pose_draw as P
+
+    rng = np.random.default_rng(1)
+    ref_body = rng.uniform(0.2, 0.8, (14, 2))
+    true_a, true_b = np.array([0.5, 0.5]), np.array([0.2, 0.1])
+    detected = [{"bodies": {"candidate": (ref_body - true_b) / true_a,
+                            "subset": np.arange(14, dtype=float)[None],
+                            "score": np.ones((1, 14))},
+                 "faces": (ref_body[None, :4] - true_b) / true_a,
+                 "hands": (ref_body[None, :6] - true_b) / true_a}
+                for _ in range(3)]
+    out = P.rescale_pose_sequence(detected, ref_body, (64, 64), (64, 64))
+    np.testing.assert_allclose(out[0]["bodies"]["candidate"], ref_body,
+                               atol=1e-8)
+    np.testing.assert_allclose(out[1]["faces"][0], ref_body[:4], atol=1e-8)
