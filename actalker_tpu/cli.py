@@ -80,6 +80,63 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
     return ACTalkerPipeline(modules, params, dtype=dtype)
 
 
+def postprocess_frames(cfg, frames01, face_box):
+    """Optional post-processes on decoded frames (reference config flags
+    use_bfr / use_teeth_enhance / use_interframe). Each runs only when its
+    checkpoint is configured; frames are (N, H, W, 3) in [0, 1]."""
+    import numpy as np
+
+    def have(p):
+        return p and os.path.exists(p)
+
+    if cfg.use_teeth_enhance and have(cfg.teeth_checkpoint_path):
+        import jax
+
+        from actalker_tpu.frontend.enhance import enhance_teeth
+        from actalker_tpu.io import weights as W
+        from actalker_tpu.models.teeth import TeethEnhancer
+
+        params = W.convert_teeth(
+            W.load_torch_state_dict(cfg.teeth_checkpoint_path))
+        fn = jax.jit(lambda x: TeethEnhancer().apply(params, x))
+        x1, y1, x2, y2 = face_box
+        mouth = (x1, y1 + (y2 - y1) / 2, x2, y2)
+        out = []
+        for fr in frames01:
+            u8 = (fr * 255).round().astype(np.uint8)
+            out.append(enhance_teeth(u8, mouth, fn).astype(np.float32) / 255)
+        frames01 = np.stack(out)
+    if cfg.use_bfr and have(cfg.bfr_checkpoint_path):
+        import jax
+
+        from actalker_tpu.frontend.enhance import enhance_face
+        from actalker_tpu.io import weights as W
+        from actalker_tpu.models.stylegan2 import GPENGenerator
+
+        params = W.convert_bfr(
+            W.load_torch_state_dict(cfg.bfr_checkpoint_path))
+        gen = GPENGenerator()
+        fn = jax.jit(lambda x: gen.apply(params, x))
+        out = []
+        for fr in frames01:
+            u8 = (fr * 255).round().astype(np.uint8)
+            out.append(enhance_face(u8, face_box, fn).astype(np.float32) / 255)
+        frames01 = np.stack(out)
+    if cfg.use_interframe and have(cfg.rife_checkpoint_path):
+        import jax
+        import jax.numpy as jnp
+
+        from actalker_tpu.io import weights as W
+        from actalker_tpu.models.rife import IFNet, interpolate_pairs
+
+        params = W.convert_rife(
+            W.load_torch_state_dict(cfg.rife_checkpoint_path))
+        net = IFNet()
+        frames01 = np.asarray(interpolate_pairs(
+            jax.jit(net.apply), params, jnp.asarray(frames01)))
+    return frames01
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
@@ -176,6 +233,7 @@ def main(argv=None):
     )
     frames = pipe.decode_latents(latents, cfg.decode_chunk_size)
     frames01 = np.clip(frames * 0.5 + 0.5, 0, 1)
+    frames01 = postprocess_frames(cfg, frames01, pre.bbox)
 
     out_dir = os.path.join(cfg.output_dir, cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)

@@ -58,6 +58,9 @@ class InferenceConfig:
     vasa_linear_checkpoint_path: str = ""
     vasa_checkpoint_path: str = ""
     whisper_model: str = ""
+    bfr_checkpoint_path: str = ""
+    teeth_checkpoint_path: str = ""
+    rife_checkpoint_path: str = ""
     output_dir: str = "exp_output"
     exp_name: str = "actalker_tpu"
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)

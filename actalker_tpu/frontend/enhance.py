@@ -107,3 +107,36 @@ def enhance_face(
     if blend_with_original:  # the reference averages with the input
         out = (out + image.astype(np.float32)) / 2.0
     return out.round().astype(np.uint8)
+
+
+def enhance_teeth(
+    image: np.ndarray,                       # (H, W, 3) uint8 RGB
+    mouth_box: Tuple[float, float, float, float],
+    teeth_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
+) -> np.ndarray:
+    """Teeth enhancement on the mouth region: square-crop the mouth box,
+    run the enhancer ((1, h, w, 3) [-1, 1] -> (rgb, alpha) at 512), and
+    alpha-composite the result back (the network's alpha matte gates the
+    edit — ``enhance_teeth_pnnx.py`` forward v_205-v_209 output pair)."""
+    import cv2
+
+    h, w = image.shape[:2]
+    x1, y1, x2, y2 = mouth_box
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    half = max(x2 - x1, y2 - y1) / 2 * 1.2
+    x1, x2 = int(max(0, cx - half)), int(min(w, cx + half))
+    y1, y2 = int(max(0, cy - half)), int(min(h, cy + half))
+    if x2 - x1 < 8 or y2 - y1 < 8:
+        return image
+    crop = image[y1:y2, x1:x2].astype(np.float32) / 127.5 - 1.0
+    rgb, alpha = teeth_fn(crop[None])
+    rgb = np.asarray(rgb)[0]
+    alpha = np.asarray(alpha)[0]
+    rgb = cv2.resize(np.clip((rgb + 1) * 127.5, 0, 255),
+                     (x2 - x1, y2 - y1), interpolation=cv2.INTER_CUBIC)
+    alpha = cv2.resize(alpha, (x2 - x1, y2 - y1),
+                       interpolation=cv2.INTER_LINEAR)[..., None]
+    out = image.copy().astype(np.float32)
+    region = out[y1:y2, x1:x2]
+    out[y1:y2, x1:x2] = region * (1 - alpha) + rgb * alpha
+    return out.round().astype(np.uint8)

@@ -513,3 +513,124 @@ def convert_rife(sd: Mapping[str, np.ndarray]) -> Dict:
             set_in(dst, f"{p}/{fpre}_1/kernel", np.transpose(w2, (2, 3, 0, 1)))
             set_in(dst, f"{p}/{fpre}_1/bias", np.asarray(sd[f"{s}.{tname}.2.bias"]))
     return {"params": dst}
+
+
+def convert_teeth(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Teeth enhancer TorchScript export -> TeethEnhancer params.
+
+    Source naming: ``src/utils/enhance_teeth/enhance_teeth_pnnx.py`` (ctor
+    15-140) — flat attributes ``encoder_blocks_K_J_*`` / ``convbn2d_N``
+    (BN-folded convs) / ``*_mid_blocks_*`` / ``decoder_conv_out4_*``.
+    """
+    dst: Dict = {}
+
+    def bn(prefix, src):
+        set_in(dst, f"{prefix}/scale", np.asarray(sd[f"{src}.weight"]))
+        set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+        set_in(dst, f"{prefix}/mean", np.asarray(sd[f"{src}.running_mean"]))
+        set_in(dst, f"{prefix}/var", np.asarray(sd[f"{src}.running_var"]))
+
+    def res(prefix, norm_src, convbn_idx, conv2_src, residual_src=None):
+        bn(f"{prefix}/norm1", norm_src)
+        _conv2(dst, f"{prefix}/conv1", sd, f"convbn2d_{convbn_idx}")
+        _conv2(dst, f"{prefix}/conv2", sd, conv2_src)
+        if residual_src is not None:
+            _conv2(dst, f"{prefix}/residual_func", sd, residual_src)
+
+    def attn(prefix, src):
+        bn(f"{prefix}/norm", f"{src}_norm")
+        for nm in ("q", "k", "v", "proj_out"):
+            _conv2(dst, f"{prefix}/{nm}", sd, f"{src}_{nm}")
+
+    _conv2(dst, "encoder_conv_in", sd, "encoder_conv_in")
+    res("encoder_res_0", "encoder_blocks_0_0_norm1", 0,
+        "encoder_blocks_0_0_conv2")
+    for i in range(1, 6):
+        _conv2(dst, f"encoder_down_{i}", sd, f"encoder_blocks_{i}_0_conv")
+        res(f"encoder_res_{i}", f"encoder_blocks_{i}_1_norm1", i,
+            f"encoder_blocks_{i}_1_conv2",
+            f"encoder_blocks_{i}_1_residual_func" if i < 5 else None)
+    attn("encoder_attn", "encoder_blocks_5_2")
+    res("encoder_mid_res1", "encoder_mid_blocks_0_norm1", 6,
+        "encoder_mid_blocks_0_conv2")
+    attn("encoder_mid_attn", "encoder_mid_blocks_1")
+    res("encoder_mid_res2", "encoder_mid_blocks_2_norm1", 7,
+        "encoder_mid_blocks_2_conv2")
+    bn("encoder_out_norm", "encoder_conv_out_0")
+    _conv2(dst, "encoder_conv_out", sd, "encoder_conv_out_2")
+
+    _conv2(dst, "decoder_conv_in", sd, "decoder_conv_in")
+    res("decoder_mid_res1", "decoder_mid_blocks_0_norm1", 8,
+        "decoder_mid_blocks_0_conv2")
+    attn("decoder_mid_attn", "decoder_mid_blocks_1")
+    res("decoder_mid_res2", "decoder_mid_blocks_2_norm1", 9,
+        "decoder_mid_blocks_2_conv2")
+    res("decoder_res_0", "decoder_blocks_0_0_norm1", 10,
+        "decoder_blocks_0_0_conv2")
+    attn("decoder_attn", "decoder_blocks_0_1")
+    for i in range(1, 6):
+        _conv2(dst, f"decoder_up_{i}", sd, f"decoder_blocks_{i}_0_conv")
+        res(f"decoder_res_{i}", f"decoder_blocks_{i}_1_norm1", 10 + i,
+            f"decoder_blocks_{i}_1_conv2",
+            f"decoder_blocks_{i}_1_residual_func" if i > 1 else None)
+    bn("decoder_out_norm", "decoder_conv_out4_0")
+    _conv2(dst, "decoder_conv_out", sd, "decoder_conv_out4_1")
+    return {"params": dst}
+
+
+def convert_bfr(sd: Mapping[str, np.ndarray]) -> Dict:
+    """BFR ``enhance-512.pth`` (FullGenerator_paper,
+    ``src/utils/enhance/model_enhance.py:778-872``) -> GPENGenerator params.
+
+    Conventions: ConvLayer biases live in the FusedLeakyReLU modules;
+    ModulatedConv2d weights are (1, out, in, k, k); EqualLinear weights are
+    stored pre-divided by lr_mul.
+    """
+    dst: Dict = {}
+
+    def lin(prefix, src):
+        set_in(dst, f"{prefix}/weight", t_linear(np.asarray(sd[f"{src}.weight"])))
+        if f"{src}.bias" in sd:
+            set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+
+    def modconv(prefix, src):
+        w = np.asarray(sd[f"{src}.weight"])[0]  # (out, in, k, k)
+        set_in(dst, f"{prefix}/weight", t_conv2d(w))
+        lin(f"{prefix}/modulation", f"{src}.modulation")
+
+    def styled(prefix, src):
+        modconv(f"{prefix}/conv", f"{src}.conv")
+        set_in(dst, f"{prefix}/noise/weight",
+               np.asarray(sd[f"{src}.noise.weight"]).reshape(()))
+        set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.activate.bias"]))
+
+    def torgb(prefix, src):
+        modconv(f"{prefix}/conv", f"{src}.conv")
+        set_in(dst, f"{prefix}/bias",
+               np.asarray(sd[f"{src}.bias"]).reshape(-1))
+
+    # encoder: ecd0 = [1x1 conv, flrelu]; ecdK = [blur, conv, flrelu]
+    set_in(dst, "ecd0/weight", t_conv2d(np.asarray(sd["ecd0.0.0.weight"])))
+    set_in(dst, "ecd0_bias", np.asarray(sd["ecd0.0.1.bias"]))
+    k = 1
+    while f"ecd{k}.0.1.weight" in sd:
+        set_in(dst, f"ecd{k}/weight",
+               t_conv2d(np.asarray(sd[f"ecd{k}.0.1.weight"])))
+        set_in(dst, f"ecd{k}_bias", np.asarray(sd[f"ecd{k}.0.2.bias"]))
+        k += 1
+    lin("final_linear", "final_linear.0")
+    i = 1
+    while f"generator.style.{i}.weight" in sd:
+        lin(f"mlp_{i - 1}", f"generator.style.{i}")
+        i += 1
+    set_in(dst, "input",
+           np.transpose(np.asarray(sd["generator.input.input"]), (0, 2, 3, 1)))
+    styled("conv1", "generator.conv1")
+    torgb("to_rgb1", "generator.to_rgb1")
+    j = 0
+    while f"generator.convs.{2 * j}.conv.weight" in sd:
+        styled(f"conv_{j + 3}_up", f"generator.convs.{2 * j}")
+        styled(f"conv_{j + 3}", f"generator.convs.{2 * j + 1}")
+        torgb(f"to_rgb_{j + 3}", f"generator.to_rgbs.{j}")
+        j += 1
+    return {"params": dst}

@@ -36,6 +36,7 @@ class EqualLinear(nn.Module):
     lr_mul: float = 1.0
     use_bias: bool = True
     activation: bool = False
+    bias_init: float = 0.0
 
     @nn.compact
     def __call__(self, x):
@@ -45,7 +46,9 @@ class EqualLinear(nn.Module):
         scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
         y = x @ (w * scale)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias",
+                           nn.initializers.constant(self.bias_init),
+                           (self.features,))
             if self.activation:
                 return fused_leaky_relu(y, b * self.lr_mul)
             y = y + b * self.lr_mul
@@ -91,7 +94,9 @@ class ModulatedConv2d(nn.Module):
         weight = self.param("weight", nn.initializers.normal(1.0),
                             (k, k, in_ch, self.features))
         scale = 1.0 / math.sqrt(in_ch * k**2)
-        s = EqualLinear(in_ch, name="modulation")(style) + 1.0  # bias init 1
+        # bias_init=1 lives in the stored parameter (torch bias_init=1),
+        # so converted checkpoints carry it — no external +1
+        s = EqualLinear(in_ch, bias_init=1.0, name="modulation")(style)
         wmod = weight[None] * scale * s[:, None, None, :, None]  # (N,k,k,in,out)
         if self.demodulate:
             d = jax.lax.rsqrt(jnp.sum(wmod**2, axis=(1, 2, 3)) + 1e-8)
@@ -102,12 +107,12 @@ class ModulatedConv2d(nn.Module):
             p = (len(self.blur_kernel) - 2) - (k - 1)
             pad0 = (p + 1) // 2 + 1
             pad1 = p // 2 + 1
-            # grouped transposed conv: batch -> feature groups
+            # grouped transposed conv: batch -> feature groups. Group g's
+            # input channels are [g*in, (g+1)*in) and its output channels
+            # [g*out, (g+1)*out) — rhs laid out (k, k, in, N*out).
             xg = x.transpose(1, 2, 0, 3).reshape(1, h, w_, n * in_ch)
-            wg = wmod.transpose(1, 2, 0, 3, 4)  # (k,k,N,in,out)
-            wg = wg.reshape(k, k, n * in_ch, self.features)
-            # build block-diagonal grouping via feature_group_count=n with
-            # per-group transposed conv
+            wg = wmod.transpose(1, 2, 3, 0, 4)  # (k,k,in,N,out)
+            wg = wg.reshape(k, k, in_ch, n * self.features)
             y = jax.lax.conv_general_dilated(
                 xg, jnp.flip(wg, (0, 1)), (1, 1),
                 ((k - 1, k - 1), (k - 1, k - 1)), lhs_dilation=(2, 2),
@@ -146,15 +151,19 @@ class ModulatedConv2d(nn.Module):
 
 
 class NoiseInjection(nn.Module):
+    """GPEN noise: the encoder feature map is CONCATENATED onto the channels
+    (``isconcat=True``, reference ``model_enhance.py:11-12,289``) — each
+    StyledConv output doubles in width (the ``sss=2`` factor)."""
+
+    concat: bool = True
+
     @nn.compact
     def __call__(self, x, noise=None):
         w = self.param("weight", nn.initializers.zeros, ())
         if noise is None:
-            noise = jnp.zeros(x.shape[:3] + (1,), x.dtype)
-        if noise.ndim == 3:
-            noise = noise[..., None]
-        if noise.shape[-1] != 1:  # GPEN feeds encoder feature maps as noise
-            noise = noise.mean(axis=-1, keepdims=True)
+            noise = jnp.zeros_like(x)
+        if self.concat:
+            return jnp.concatenate([x, w * noise], axis=-1)
         return x + w * noise
 
 
@@ -162,13 +171,14 @@ class StyledConv(nn.Module):
     features: int
     kernel: int = 3
     upsample: bool = False
+    concat_noise: bool = True
 
     @nn.compact
     def __call__(self, x, style, noise=None):
         y = ModulatedConv2d(self.features, self.kernel,
                             upsample=self.upsample, name="conv")(x, style)
-        y = NoiseInjection(name="noise")(y, noise)
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = NoiseInjection(concat=self.concat_noise, name="noise")(y, noise)
+        b = self.param("bias", nn.initializers.zeros, (y.shape[-1],))
         return fused_leaky_relu(y, b)
 
 
@@ -198,8 +208,11 @@ def _channels(size: int, channel_multiplier: int = 2) -> dict:
 
 
 class GPENGenerator(nn.Module):
-    """FullGenerator: encoder pyramid -> style vector + per-scale noise ->
-    StyleGAN2 synthesis with skip ToRGB. 512px default."""
+    """FullGenerator_paper: encoder pyramid -> style vector + per-scale
+    features fed as concat-noise -> StyleGAN2 synthesis with skip ToRGB
+    (``model_enhance.py``: FullGenerator_paper 778-872, Generator 372-556,
+    isconcat/sss 11-12). 512px, loaded from ``enhance-512.pth`` via
+    ``io/weights.py::convert_bfr``."""
 
     size: int = 512
     style_dim: int = 512
@@ -211,40 +224,51 @@ class GPENGenerator(nn.Module):
         ch = _channels(self.size, self.channel_multiplier)
         log_size = int(math.log2(self.size))
 
-        # ----- encoder: size -> 4, collecting per-scale features (noise)
+        # ----- encoder (ecd0..ecdK): 1x1 stem then blur + stride-2 convs,
+        # biases live in the fused leaky-relus; every stage output is kept
+        # as the synthesis noise at that scale (forward 860-865)
         feats = []
-        h = EqualConv2d(ch[self.size], 1, padding=0, name="enc_in")(x)
-        h = fused_leaky_relu(h, jnp.zeros((ch[self.size],), h.dtype))
+        h = EqualConv2d(ch[self.size], 1, padding=0, use_bias=False,
+                        name="ecd0")(x)
+        b0 = self.param("ecd0_bias", nn.initializers.zeros, (ch[self.size],))
+        h = fused_leaky_relu(h, b0)
+        feats.append(h)
         for i in range(log_size, 2, -1):
             res = 2 ** (i - 1)
+            idx = log_size - i + 1
+            p = 2 + 2  # (len(blur_kernel) - 2) + (kernel - 1) for k=3
+            h = blur(h, pad=((p + 1) // 2, p // 2))
+            h = EqualConv2d(ch[res], 3, stride=2, padding=0, use_bias=False,
+                            name=f"ecd{idx}")(h)
+            b = self.param(f"ecd{idx}_bias", nn.initializers.zeros,
+                           (ch[res],))
+            h = fused_leaky_relu(h, b)
             feats.append(h)
-            h = EqualConv2d(ch[res], 3, stride=2, padding=1,
-                            name=f"enc_{i}")(h)
-            h = fused_leaky_relu(h, jnp.zeros((ch[res],), h.dtype))
-        feats.append(h)
-        # final 4x4 -> style
-        style = h.mean(axis=(1, 2))
+
+        # final 4x4 -> z (flatten channel-major like torch .view) -> w
+        z = h.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
+        z = EqualLinear(self.style_dim, activation=True,
+                        name="final_linear")(z)
+        style = z * jax.lax.rsqrt(jnp.mean(z * z, -1, keepdims=True) + 1e-8)
         for i in range(self.n_mlp):
             style = EqualLinear(self.style_dim, lr_mul=0.01, activation=True,
                                 name=f"mlp_{i}")(style)
 
-        # ----- synthesis: 4 -> size with encoder features as noise
+        # ----- synthesis: 4 -> size; both convs of a block share the
+        # encoder feature at that scale (Generator.forward 556-566)
         feats = feats[::-1]
         const = self.param("input", nn.initializers.normal(1.0),
                            (1, 4, 4, ch[4]))
         y = jnp.tile(const, (x.shape[0], 1, 1, 1))
         y = StyledConv(ch[4], name="conv1")(y, style, feats[0])
         rgb = ToRGB(upsample=False, name="to_rgb1")(y, style)
-        fi = 1
         for i in range(3, log_size + 1):
             res = 2**i
+            noise = feats[i - 2]
             y = StyledConv(ch[res], upsample=True,
-                           name=f"conv_{i}_up")(y, style,
-                                                feats[min(fi, len(feats) - 1)])
-            y = StyledConv(ch[res], name=f"conv_{i}")(y, style,
-                                                      feats[min(fi, len(feats) - 1)])
+                           name=f"conv_{i}_up")(y, style, noise)
+            y = StyledConv(ch[res], name=f"conv_{i}")(y, style, noise)
             rgb = ToRGB(name=f"to_rgb_{i}")(y, style, rgb)
-            fi += 1
         return rgb
 
 
