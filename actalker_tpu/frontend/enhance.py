@@ -76,13 +76,16 @@ def enhance_face(
     box: Tuple[float, float, float, float],
     generator_fn: Callable[[np.ndarray], np.ndarray],
     blend_with_original: bool = True,
+    landmarks: Optional[np.ndarray] = None,  # (5, 2); box prior if None
 ) -> np.ndarray:
     """Run BFR on the face region; ``generator_fn`` maps a (1, 512, 512, 3)
-    [-1, 1] crop to the restored crop (e.g. a jitted GPENGenerator apply)."""
+    [-1, 1] crop to the restored crop (e.g. a jitted GPENGenerator apply).
+    Pass real 5-point ``landmarks`` (``frontend/landmarks.py``) for tighter
+    alignment; otherwise the face-box geometry prior is used."""
     import cv2
 
     h, w = image.shape[:2]
-    lm = box_to_landmarks(box)
+    lm = box_to_landmarks(box) if landmarks is None else np.asarray(landmarks)
     mat = similarity_transform(lm, MEAN_FACE_5P / 2.0 * 2.0)
     crop = cv2.warpAffine(image, mat, (512, 512), flags=cv2.INTER_CUBIC)
     x = crop.astype(np.float32) / 127.5 - 1.0

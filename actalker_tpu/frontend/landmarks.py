@@ -1,0 +1,101 @@
+"""5-point facial landmarks from cascade part detectors (host side).
+
+Fills the reference's landmark role (MediaPipe face mesh at
+``src/utils/mediapipe/mp_utils_refine.py:19-60`` and the TorchScript
+two-phase landmarkers at ``src/utils/face_align/align.py:14-48`` — neither
+dependency exists in this image) with the parts the system does ship: the
+haarcascade eye / smile models evaluated by our own Viola-Jones engine
+(``frontend/viola_jones.py``). Output is the standard 5-point layout
+(left eye, right eye, nose, left mouth corner, right mouth corner) used by
+``frontend/enhance.py::similarity_transform`` for BFR alignment and by the
+ArcFace crop; geometry-prior fallbacks cover undetected parts, degrading to
+exactly the face-box prior (``enhance.py::box_to_landmarks``) when nothing
+is found.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+Box = Tuple[float, float, float, float]
+
+_EYE_XML = "/usr/share/opencv4/haarcascades/haarcascade_eye.xml"
+_SMILE_XML = "/usr/share/opencv4/haarcascades/haarcascade_smile.xml"
+
+
+class LandmarkEstimator:
+    def __init__(self):
+        from actalker_tpu.frontend.viola_jones import CascadeModel, ViolaJones
+
+        self.eye = (ViolaJones(CascadeModel.load(_EYE_XML))
+                    if os.path.exists(_EYE_XML) else None)
+        self.smile = (ViolaJones(CascadeModel.load(_SMILE_XML))
+                      if os.path.exists(_SMILE_XML) else None)
+
+    @staticmethod
+    def _gray(image: np.ndarray) -> np.ndarray:
+        if image.ndim == 3:
+            return (0.299 * image[..., 0] + 0.587 * image[..., 1]
+                    + 0.114 * image[..., 2])
+        return image.astype(np.float64)
+
+    def __call__(self, image: np.ndarray, face_box: Box) -> np.ndarray:
+        """(H, W[, 3]) image + face box -> (5, 2) landmark array."""
+        from actalker_tpu.frontend.enhance import box_to_landmarks
+
+        lm = box_to_landmarks(face_box).astype(np.float64)  # geometry prior
+        x1, y1, x2, y2 = [int(round(v)) for v in face_box]
+        h, w = image.shape[:2]
+        x1, y1 = max(0, x1), max(0, y1)
+        x2, y2 = min(w, x2), min(h, y2)
+        if x2 - x1 < 24 or y2 - y1 < 24:
+            return lm
+        gray = self._gray(image[y1:y2, x1:x2])
+        fw, fh = x2 - x1, y2 - y1
+
+        if self.eye is not None:
+            # eyes live in the upper half; search each side separately
+            upper = gray[: fh // 2]
+            half = fw // 2
+            for side, (xo, sl) in enumerate(
+                    ((0, upper[:, :half]), (half, upper[:, half:]))):
+                dets = self.eye.detect(sl, min_size=max(12, fw // 8),
+                                       scale_factor=1.15)
+                if dets:
+                    ex, ey, ew, eh = max(dets, key=lambda d: d[2] * d[3])
+                    lm[side] = (x1 + xo + ex + ew / 2.0,
+                                y1 + ey + eh / 2.0)
+
+        if self.smile is not None:
+            lower = gray[fh // 2:]
+            dets = self.smile.detect(lower, min_size=max(16, fw // 6),
+                                     scale_factor=1.15)
+            if dets:
+                mx, my, mw, mh = max(dets, key=lambda d: d[2] * d[3])
+                cy = y1 + fh // 2 + my + mh / 2.0
+                lm[3] = (x1 + mx + 0.15 * mw, cy)
+                lm[4] = (x1 + mx + 0.85 * mw, cy)
+
+        # nose: between the eye midpoint and the mouth midpoint
+        lm[2] = ((lm[0] + lm[1]) / 2.0 * 0.5 + (lm[3] + lm[4]) / 2.0 * 0.5)
+        return lm.astype(np.float32)
+
+
+def estimate_landmarks(image: np.ndarray, face_box: Optional[Box] = None,
+                       estimator: Optional[LandmarkEstimator] = None
+                       ) -> np.ndarray:
+    """Convenience entry: detect the face if no box given, then estimate.
+    Always returns a (5, 2) array (face-box geometry prior as fallback)."""
+    from actalker_tpu.frontend.enhance import box_to_landmarks
+    from actalker_tpu.frontend.face import detect_face
+
+    if face_box is None:
+        h, w = image.shape[:2]
+        face_box = detect_face(image) or (0.0, 0.0, float(w), float(h))
+    try:
+        est = estimator or LandmarkEstimator()
+        return est(image, face_box)
+    except Exception:
+        return box_to_landmarks(face_box).astype(np.float32)

@@ -125,3 +125,76 @@ def test_lpips_alex_matches_torch_oracle():
         params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
         jnp.asarray(x.permute(0, 2, 3, 1).numpy())))
     assert (np.abs(same) < 1e-6).all()
+
+
+def test_syncnet_matches_torch_oracle():
+    """SyncNet + convert_syncnet vs the reference tower definition
+    (eval/sync/SyncNetModel.py class S) built in torch with random weights."""
+    import torch
+    import torch.nn as nn
+
+    from actalker_tpu.evaluation.syncnet import SyncNet, convert_syncnet
+
+    torch.manual_seed(0)
+    netcnnaud = nn.Sequential(
+        nn.Conv2d(1, 64, 3, 1, 1), nn.BatchNorm2d(64), nn.ReLU(),
+        nn.MaxPool2d((1, 1), (1, 1)),
+        nn.Conv2d(64, 192, 3, 1, 1), nn.BatchNorm2d(192), nn.ReLU(),
+        nn.MaxPool2d((3, 3), (1, 2)),
+        nn.Conv2d(192, 384, 3, padding=1), nn.BatchNorm2d(384), nn.ReLU(),
+        nn.Conv2d(384, 256, 3, padding=1), nn.BatchNorm2d(256), nn.ReLU(),
+        nn.Conv2d(256, 256, 3, padding=1), nn.BatchNorm2d(256), nn.ReLU(),
+        nn.MaxPool2d((3, 3), (2, 2)),
+        nn.Conv2d(256, 512, (5, 4), padding=0), nn.BatchNorm2d(512),
+        nn.ReLU(),
+    )
+    netfcaud = nn.Sequential(nn.Linear(512, 512), nn.BatchNorm1d(512),
+                             nn.ReLU(), nn.Linear(512, 1024))
+    netfclip = nn.Sequential(nn.Linear(512, 512), nn.BatchNorm1d(512),
+                             nn.ReLU(), nn.Linear(512, 1024))
+    netcnnlip = nn.Sequential(
+        nn.Conv3d(3, 96, (5, 7, 7), (1, 2, 2), 0), nn.BatchNorm3d(96),
+        nn.ReLU(), nn.MaxPool3d((1, 3, 3), (1, 2, 2)),
+        nn.Conv3d(96, 256, (1, 5, 5), (1, 2, 2), (0, 1, 1)),
+        nn.BatchNorm3d(256), nn.ReLU(),
+        nn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)),
+        nn.Conv3d(256, 256, (1, 3, 3), padding=(0, 1, 1)),
+        nn.BatchNorm3d(256), nn.ReLU(),
+        nn.Conv3d(256, 256, (1, 3, 3), padding=(0, 1, 1)),
+        nn.BatchNorm3d(256), nn.ReLU(),
+        nn.Conv3d(256, 256, (1, 3, 3), padding=(0, 1, 1)),
+        nn.BatchNorm3d(256), nn.ReLU(), nn.MaxPool3d((1, 3, 3), (1, 2, 2)),
+        nn.Conv3d(256, 512, (1, 6, 6), padding=0), nn.BatchNorm3d(512),
+        nn.ReLU(),
+    )
+    # randomize BN running stats so the eval-mode normalize is non-trivial
+    for mod in [*netcnnaud, *netcnnlip, *netfcaud, *netfclip]:
+        if hasattr(mod, "running_mean"):
+            mod.running_mean = torch.randn_like(mod.running_mean) * 0.05
+            mod.running_var = 1 + torch.rand_like(mod.running_var) * 0.1
+    for seq in (netcnnaud, netcnnlip, netfcaud, netfclip):
+        seq.eval()
+
+    aud = torch.randn(2, 1, 13, 20)
+    lip = torch.randn(2, 3, 5, 224, 224)
+    with torch.no_grad():
+        mid = netcnnaud(aud)
+        ref_a = netfcaud(mid.reshape(mid.shape[0], -1)).numpy()
+        mid = netcnnlip(lip)
+        ref_l = netfclip(mid.reshape(mid.shape[0], -1)).numpy()
+
+    sd = {}
+    for name, seq in (("netcnnaud", netcnnaud), ("netfcaud", netfcaud),
+                      ("netcnnlip", netcnnlip), ("netfclip", netfclip)):
+        for k, v in seq.state_dict().items():
+            sd[f"{name}.{k}"] = v.numpy()
+    params = convert_syncnet(sd)
+
+    m = SyncNet()
+    got_a, got_l = m.apply(
+        params,
+        jnp.asarray(aud.permute(0, 2, 3, 1).numpy()),
+        jnp.asarray(lip.permute(0, 2, 3, 4, 1).numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(got_a), ref_a, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_l), ref_l, rtol=2e-4, atol=4e-4)

@@ -155,3 +155,22 @@ def test_pose_rescale_sequence():
     np.testing.assert_allclose(out[0]["bodies"]["candidate"], ref_body,
                                atol=1e-8)
     np.testing.assert_allclose(out[1]["faces"][0], ref_body[:4], atol=1e-8)
+
+
+def test_landmark_estimator_fallback_and_shape():
+    """estimate_landmarks always yields (5, 2); on a blank image it degrades
+    to the face-box geometry prior; eye points stay inside the box."""
+    from actalker_tpu.frontend.enhance import box_to_landmarks
+    from actalker_tpu.frontend.landmarks import estimate_landmarks
+
+    blank = np.zeros((96, 96, 3), np.uint8)
+    box = (16.0, 16.0, 80.0, 80.0)
+    lm = estimate_landmarks(blank, box)
+    assert lm.shape == (5, 2)
+    np.testing.assert_allclose(lm, box_to_landmarks(box), atol=1e-4)
+
+    textured = (np.random.default_rng(0).uniform(0, 255, (96, 96, 3))
+                ).astype(np.uint8)
+    lm2 = estimate_landmarks(textured, box)
+    assert lm2.shape == (5, 2)
+    assert (lm2[:, 0] >= box[0] - 8).all() and (lm2[:, 0] <= box[2] + 8).all()
