@@ -139,14 +139,30 @@ class Attention(nn.Module):
             out = dot_product_attention(qf, k, v)
             return out.reshape(b, s, self.heads, self.head_dim)
 
-        q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        def broadcast_v(v):
+            # Singleton-key shortcut: softmax over one key is identically 1,
+            # so attention over a length-1 context IS its value row — no
+            # q/k projections, no einsum, no relayout copies. Exact.
+            bv = v.shape[0]
+            v = v.reshape(bv, 1, inner)
+            return jnp.broadcast_to(v, (bv, (b // bv) * s, inner)
+                                    ).reshape(b, s, inner)
+
+        # q is needed only where some context has more than one token
+        ip_lens = [ipc.shape[1] for ipc in (ip_contexts or [])]
+        q = None
+        if ctx.shape[1] > 1 or any(ln > 1 for ln in ip_lens):
+            q = dense(inner, use_bias=False, dtype=self.dtype,
+                      name="to_q")(x).reshape(b, s, self.heads, self.head_dim)
+
         v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-        q = q.reshape(b, s, self.heads, self.head_dim)
-        k = k.reshape(bc, -1, self.heads, self.head_dim)
-        v = v.reshape(bc, -1, self.heads, self.head_dim)
-        out = attend(q, k, v)
-        out = out.reshape(b, s, inner)
+        if ctx.shape[1] == 1:
+            out = broadcast_v(v)
+        else:
+            k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            k = k.reshape(bc, -1, self.heads, self.head_dim)
+            v = v.reshape(bc, -1, self.heads, self.head_dim)
+            out = attend(q, k, v).reshape(b, s, inner)
 
         if self.num_adapters:
             assert ip_contexts is not None and len(ip_contexts) == self.num_adapters
@@ -155,13 +171,16 @@ class Attention(nn.Module):
             for i in range(self.num_adapters):
                 ip_ctx = ip_contexts[i]
                 bi = ip_ctx.shape[0]
-                k_ip = dense(inner, use_bias=False, dtype=self.dtype,
-                             name=f"to_k_ip_{i}")(ip_ctx)
                 v_ip = dense(inner, use_bias=False, dtype=self.dtype,
                              name=f"to_v_ip_{i}")(ip_ctx)
-                k_ip = k_ip.reshape(bi, -1, self.heads, self.head_dim)
-                v_ip = v_ip.reshape(bi, -1, self.heads, self.head_dim)
-                ip_out = attend(q, k_ip, v_ip).reshape(b, s, inner)
+                if ip_ctx.shape[1] == 1:
+                    ip_out = broadcast_v(v_ip)
+                else:
+                    k_ip = dense(inner, use_bias=False, dtype=self.dtype,
+                                 name=f"to_k_ip_{i}")(ip_ctx)
+                    k_ip = k_ip.reshape(bi, -1, self.heads, self.head_dim)
+                    v_ip = v_ip.reshape(bi, -1, self.heads, self.head_dim)
+                    ip_out = attend(q, k_ip, v_ip).reshape(b, s, inner)
                 if ip_masks is not None and ip_masks[i] is not None:
                     m = downsample_ip_mask(ip_masks[i], s).astype(ip_out.dtype)
                     if m.shape[0] != b:  # broadcast one mask over frames

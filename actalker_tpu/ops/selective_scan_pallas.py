@@ -59,7 +59,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _ssm_kernel(u_ref, dt_ref, A_ref, BC_ref, Dskip_ref, bias_ref,
                 y_ref, h_scr, *, lc: int, n_state: int, dp: int,
-                reverse: bool):
+                reverse: bool, unroll: int):
     """One (batch-group, L-chunk) grid step — register-resident state.
 
     The hidden state lives as ``n_state`` separate (8, Dp) values carried
@@ -106,32 +106,34 @@ def _ssm_kernel(u_ref, dt_ref, A_ref, BC_ref, Dskip_ref, bias_ref,
         y_ref[pl.ds(i, 1)] = y[None].astype(y_ref.dtype)
         return tuple(hs)
 
-    # 2-token unroll: amortizes loop control and lets the scheduler overlap
-    # the two tokens' exp pipelines (the h-update fma chain is the only
-    # cross-token dependency).
-    assert lc % 2 == 0, lc
+    # Token unroll: amortizes loop control and lets the scheduler overlap
+    # the tokens' exp pipelines (the h-update fma chain is the only
+    # cross-token dependency). The unroll factor is width-adaptive — wide
+    # channel blocks would overflow the Mosaic vector stack at 4.
+    assert lc % unroll == 0, (lc, unroll)
 
-    def step(t2, h):
-        t = t2 * 2
-        if reverse:
-            h = one_token(lc - 1 - t, h)
-            h = one_token(lc - 2 - t, h)
-        else:
-            h = one_token(t, h)
-            h = one_token(t + 1, h)
+    def step(ti, h):
+        t = ti * unroll
+        for j in range(unroll):
+            h = one_token(lc - 1 - t - j if reverse else t + j, h)
         return h
 
-    h = jax.lax.fori_loop(0, lc // 2, step, h0)
+    h = jax.lax.fori_loop(0, lc // unroll, step, h0)
     for n in range(n_state):
         h_scr[:, n * dp:(n + 1) * dp] = h[n]
+
+
+def _unroll_for(dp: int) -> int:
+    return 4 if dp <= 1280 else 2
 
 
 def _pick_lc(lc, l, dp, np_, itemsize):
     budget = 8 * 2**20
     per_row = _BT * (3 * dp + np_) * itemsize * 2
     lc_fit = max(8, budget // per_row)
-    picked = max(2, min(lc, lc_fit, _round_up(l, 8)))
-    return picked - (picked % 2)  # kernel unrolls 2 tokens per step
+    u = _unroll_for(dp)
+    picked = max(u, min(lc, lc_fit, _round_up(l, 8)))
+    return max(u, picked - (picked % u))
 
 
 @functools.partial(jax.jit, static_argnames=("reverse", "lc", "orig_l"))
@@ -174,7 +176,8 @@ def ssm_scan_arranged(
 
     return pl.pallas_call(
         functools.partial(
-            _ssm_kernel, lc=lc, n_state=n, dp=dp, reverse=reverse
+            _ssm_kernel, lc=lc, n_state=n, dp=dp, reverse=reverse,
+            unroll=_unroll_for(dp),
         ),
         grid=(ng, nl),
         interpret=jax.default_backend() != "tpu",

@@ -84,9 +84,27 @@ def test_ip_adapter_zero_scale_equals_base():
     params = attn.init(KEY, x, context=ctx, ip_contexts=ip)
     y0 = attn.apply(params, x, context=ctx, ip_contexts=ip, ip_scales=(0.0, 0.0))
     base = Attention(heads=2, head_dim=8, context_dim=24)
-    bp = {"params": {k: params["params"][k] for k in ("to_q", "to_k", "to_v", "to_out")}}
+    keep = [k for k in ("to_q", "to_k", "to_v", "to_out")
+            if k in params["params"]]
+    bp = {"params": {k: params["params"][k] for k in keep}}
     y1 = base.apply(bp, x, context=ctx)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-5)
+
+
+def test_singleton_context_shortcut_is_exact():
+    """Attention over a length-1 context equals full attention over that
+    context duplicated twice (softmax over identical keys is uniform), so
+    the broadcast shortcut is exact."""
+    b, s, c = 2, 9, 16
+    x = jax.random.normal(KEY, (b, s, c))
+    ctx1 = jax.random.normal(jax.random.PRNGKey(5), (b, 1, 24))
+    ctx2 = jnp.concatenate([ctx1, ctx1], axis=1)  # len 2 -> full attention
+    attn = Attention(heads=2, head_dim=8, context_dim=24)
+    params = attn.init(KEY, x, context=ctx2)  # creates to_q/to_k too
+    y_full = attn.apply(params, x, context=ctx2)
+    y_single = attn.apply(params, x, context=ctx1)  # broadcast shortcut
+    np.testing.assert_allclose(np.asarray(y_single), np.asarray(y_full),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_shared_context_folding_is_exact():
