@@ -65,10 +65,13 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    # sqrtm(sigma1 @ sigma2) via the symmetric-form trick:
-    s1h = _sqrtm_psd(sigma1 + eps * np.eye(len(sigma1)))
-    inner = s1h @ sigma2 @ s1h
-    covmean = _sqrtm_psd(inner + eps * np.eye(len(sigma1)))
+    # sqrtm((sigma1+eps I) @ (sigma2+eps I)) via the symmetric-form trick
+    # (trace-equal to the non-symmetric product for PSD inputs); the eps
+    # offset regularizes both factors like the reference's retry path
+    # (eval_fid.py:60-66) rather than adding a second eps under the root.
+    eye = eps * np.eye(len(sigma1))
+    s1h = _sqrtm_psd(sigma1 + eye)
+    covmean = _sqrtm_psd(s1h @ (sigma2 + eye) @ s1h)
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
                  - 2.0 * np.trace(covmean))
 

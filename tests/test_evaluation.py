@@ -198,3 +198,268 @@ def test_syncnet_matches_torch_oracle():
     )
     np.testing.assert_allclose(np.asarray(got_a), ref_a, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_l), ref_l, rtol=2e-4, atol=4e-4)
+
+
+def test_fid_inception_matches_torch_oracle():
+    """Graph+converter parity against a torch re-implementation of the
+    reference's FID InceptionV3 (eval/inception.py:16-161 incl. the TF
+    avg-pool and Mixed_7c max-pool patches), random weights + BN stats."""
+    import torch
+    import torch.nn as torch_nn
+    import torch.nn.functional as F
+
+    from actalker_tpu.evaluation.inception import (
+        FIDInceptionV3, convert_fid_inception)
+
+    class BC(torch_nn.Module):  # BasicConv2d
+        def __init__(self, i, o, **kw):
+            super().__init__()
+            self.conv = torch_nn.Conv2d(i, o, bias=False, **kw)
+            self.bn = torch_nn.BatchNorm2d(o, eps=1e-3)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    def avg_tf(x):
+        return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+    class A(torch_nn.Module):
+        def __init__(self, i, pf):
+            super().__init__()
+            self.branch1x1 = BC(i, 64, kernel_size=1)
+            self.branch5x5_1 = BC(i, 48, kernel_size=1)
+            self.branch5x5_2 = BC(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BC(i, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BC(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BC(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = BC(i, pf, kernel_size=1)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch1x1(x),
+                self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(avg_tf(x))], 1)
+
+    class B(torch_nn.Module):
+        def __init__(self, i):
+            super().__init__()
+            self.branch3x3 = BC(i, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BC(i, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BC(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BC(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            return torch.cat([
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                F.max_pool2d(x, 3, 2)], 1)
+
+    class C(torch_nn.Module):
+        def __init__(self, i, c7):
+            super().__init__()
+            self.branch1x1 = BC(i, 192, kernel_size=1)
+            self.branch7x7_1 = BC(i, c7, kernel_size=1)
+            self.branch7x7_2 = BC(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = BC(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BC(i, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BC(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BC(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BC(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BC(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = BC(i, 192, kernel_size=1)
+
+        def forward(self, x):
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_1(x)
+            for m in (self.branch7x7dbl_2, self.branch7x7dbl_3,
+                      self.branch7x7dbl_4, self.branch7x7dbl_5):
+                bd = m(bd)
+            return torch.cat([self.branch1x1(x), b7, bd,
+                              self.branch_pool(avg_tf(x))], 1)
+
+    class D(torch_nn.Module):
+        def __init__(self, i):
+            super().__init__()
+            self.branch3x3_1 = BC(i, 192, kernel_size=1)
+            self.branch3x3_2 = BC(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = BC(i, 192, kernel_size=1)
+            self.branch7x7x3_2 = BC(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BC(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BC(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            b7 = x
+            for m in (self.branch7x7x3_1, self.branch7x7x3_2,
+                      self.branch7x7x3_3, self.branch7x7x3_4):
+                b7 = m(b7)
+            return torch.cat([self.branch3x3_2(self.branch3x3_1(x)), b7,
+                              F.max_pool2d(x, 3, 2)], 1)
+
+    class E(torch_nn.Module):
+        def __init__(self, i, maxpool):
+            super().__init__()
+            self.maxpool = maxpool
+            self.branch1x1 = BC(i, 320, kernel_size=1)
+            self.branch3x3_1 = BC(i, 384, kernel_size=1)
+            self.branch3x3_2a = BC(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = BC(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BC(i, 448, kernel_size=1)
+            self.branch3x3dbl_2 = BC(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = BC(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BC(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = BC(i, 192, kernel_size=1)
+
+        def forward(self, x):
+            b3 = self.branch3x3_1(x)
+            b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+            bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+            bp = (F.max_pool2d(x, 3, 1, 1) if self.maxpool else avg_tf(x))
+            return torch.cat([self.branch1x1(x), b3, bd,
+                              self.branch_pool(bp)], 1)
+
+    class Net(torch_nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BC(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BC(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = BC(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = BC(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = BC(80, 192, kernel_size=3)
+            self.Mixed_5b, self.Mixed_5c, self.Mixed_5d = A(192, 32), A(256, 64), A(288, 64)
+            self.Mixed_6a = B(288)
+            self.Mixed_6b, self.Mixed_6c = C(768, 128), C(768, 160)
+            self.Mixed_6d, self.Mixed_6e = C(768, 160), C(768, 192)
+            self.Mixed_7a = D(768)
+            self.Mixed_7b, self.Mixed_7c = E(1280, False), E(2048, True)
+
+        def forward(self, x):
+            x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            x = F.max_pool2d(x, 3, 2)
+            x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+            x = F.max_pool2d(x, 3, 2)
+            for m in (self.Mixed_5b, self.Mixed_5c, self.Mixed_5d,
+                      self.Mixed_6a, self.Mixed_6b, self.Mixed_6c,
+                      self.Mixed_6d, self.Mixed_6e, self.Mixed_7a,
+                      self.Mixed_7b, self.Mixed_7c):
+                x = m(x)
+            return F.adaptive_avg_pool2d(x, 1).flatten(1)
+
+    torch.manual_seed(0)
+    net = Net()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch_nn.Conv2d):
+                m.weight.normal_(0, 0.05)
+            if isinstance(m, torch_nn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.normal_(0, 0.1)
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    net.eval()
+
+    x = torch.rand(2, 3, 75, 75)
+    with torch.no_grad():
+        ref = net(x).numpy()
+
+    params = convert_fid_inception(
+        {k: v.numpy() for k, v in net.state_dict().items()})
+    model = FIDInceptionV3(resize_input=False, normalize_input=False)
+    got = model.apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()))[0]
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_i3d_matches_torch_oracle():
+    """InceptionI3D graph+converter parity against a torch re-implementation
+    of the reference's I3D (utils/pytorch_i3d.py:48-338: Unit3D with dynamic
+    TF-SAME padding == XLA SAME, BN eps 1e-3), random weights + BN stats."""
+    import math
+
+    import torch
+    import torch.nn as torch_nn
+    import torch.nn.functional as F
+
+    from actalker_tpu.evaluation.i3d import InceptionI3D, convert_i3d, _MIXED
+
+    def same_pad(x, k, s):
+        # pytorch_i3d.py:82-113 dynamic SAME padding (t, h, w)
+        pads = []
+        for d in (2, 3, 4):
+            size, kd, sd = x.shape[d], k[d - 2], s[d - 2]
+            total = max(kd - sd, 0) if size % sd == 0 else max(kd - size % sd, 0)
+            pads = [total // 2, total - total // 2] + pads
+        return F.pad(x, pads)
+
+    class Unit3D(torch_nn.Module):
+        def __init__(self, i, o, k=(1, 1, 1), s=(1, 1, 1)):
+            super().__init__()
+            self.k, self.s = k, s
+            self.conv3d = torch_nn.Conv3d(i, o, k, s, 0, bias=False)
+            self.bn = torch_nn.BatchNorm3d(o, eps=1e-3)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv3d(same_pad(x, self.k, self.s))))
+
+    def maxpool_same(x, k, s):
+        return F.max_pool3d(same_pad(x, k, s), k, s)
+
+    class Mixed(torch_nn.Module):
+        def __init__(self, i, c):
+            super().__init__()
+            self.b0 = Unit3D(i, c[0])
+            self.b1a, self.b1b = Unit3D(i, c[1]), Unit3D(c[1], c[2], (3, 3, 3))
+            self.b2a, self.b2b = Unit3D(i, c[3]), Unit3D(c[3], c[4], (3, 3, 3))
+            self.b3b = Unit3D(i, c[5])
+
+        def forward(self, x):
+            return torch.cat([
+                self.b0(x), self.b1b(self.b1a(x)), self.b2b(self.b2a(x)),
+                self.b3b(maxpool_same(x, (3, 3, 3), (1, 1, 1)))], 1)
+
+    class Net(torch_nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv3d_1a_7x7 = Unit3D(3, 64, (7, 7, 7), (2, 2, 2))
+            self.Conv3d_2b_1x1 = Unit3D(64, 64)
+            self.Conv3d_2c_3x3 = Unit3D(64, 192, (3, 3, 3))
+            ins = [192, 256, 480, 512, 512, 512, 528, 832, 832]
+            for i, ep in zip(ins, _MIXED):
+                setattr(self, ep, Mixed(i, _MIXED[ep]))
+
+        def forward(self, x):
+            x = self.Conv3d_1a_7x7(x)
+            x = maxpool_same(x, (1, 3, 3), (1, 2, 2))
+            x = self.Conv3d_2c_3x3(self.Conv3d_2b_1x1(x))
+            x = maxpool_same(x, (1, 3, 3), (1, 2, 2))
+            x = self.Mixed_3c(self.Mixed_3b(x))
+            x = maxpool_same(x, (3, 3, 3), (2, 2, 2))
+            for ep in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e",
+                       "Mixed_4f"):
+                x = getattr(self, ep)(x)
+            x = maxpool_same(x, (2, 2, 2), (2, 2, 2))
+            x = self.Mixed_5c(self.Mixed_5b(x))
+            return F.avg_pool3d(x, (2, 7, 7), (1, 1, 1))
+
+    torch.manual_seed(1)
+    net = Net()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch_nn.Conv3d):
+                m.weight.normal_(0, 0.05)
+            if isinstance(m, torch_nn.BatchNorm3d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.normal_(0, 0.1)
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    net.eval()
+
+    x = torch.rand(1, 3, 9, 224, 224)
+    with torch.no_grad():
+        ref = net(x).numpy()  # (1, 1024, T', 1, 1)
+
+    params = convert_i3d({k: v.numpy() for k, v in net.state_dict().items()})
+    got = InceptionI3D().apply(
+        params, jnp.asarray(x.permute(0, 2, 3, 4, 1).numpy()))
+    got_nchw = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(got_nchw, ref, rtol=2e-3, atol=2e-3)
