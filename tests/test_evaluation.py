@@ -463,3 +463,124 @@ def test_i3d_matches_torch_oracle():
         params, jnp.asarray(x.permute(0, 2, 3, 4, 1).numpy()))
     got_nchw = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))
     np.testing.assert_allclose(got_nchw, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_s3fd_matches_torch_oracle():
+    """S3FDNet backbone+heads parity against a torch re-implementation of
+    the reference detector (eval/detectors/s3fd/nets.py:28-162), plus an
+    end-to-end detect_faces smoke on the decode/NMS tail."""
+    import torch
+    import torch.nn as torch_nn
+    import torch.nn.functional as F
+
+    from actalker_tpu.evaluation.s3fd import (
+        S3FD, S3FDNet, convert_s3fd, decode_boxes, nms, priors_for)
+
+    class L2Norm(torch_nn.Module):
+        def __init__(self, n, scale):
+            super().__init__()
+            self.weight = torch_nn.Parameter(torch.full((n,), float(scale)))
+
+        def forward(self, x):
+            norm = x.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10
+            return self.weight[None, :, None, None] * x / norm
+
+    class Net(torch_nn.Module):
+        def __init__(self):
+            super().__init__()
+            C = torch_nn.Conv2d
+            self.vgg = torch_nn.ModuleList([
+                C(3, 64, 3, 1, 1), torch_nn.ReLU(), C(64, 64, 3, 1, 1),
+                torch_nn.ReLU(), torch_nn.MaxPool2d(2, 2),
+                C(64, 128, 3, 1, 1), torch_nn.ReLU(), C(128, 128, 3, 1, 1),
+                torch_nn.ReLU(), torch_nn.MaxPool2d(2, 2),
+                C(128, 256, 3, 1, 1), torch_nn.ReLU(), C(256, 256, 3, 1, 1),
+                torch_nn.ReLU(), C(256, 256, 3, 1, 1), torch_nn.ReLU(),
+                torch_nn.MaxPool2d(2, 2, ceil_mode=True),
+                C(256, 512, 3, 1, 1), torch_nn.ReLU(), C(512, 512, 3, 1, 1),
+                torch_nn.ReLU(), C(512, 512, 3, 1, 1), torch_nn.ReLU(),
+                torch_nn.MaxPool2d(2, 2),
+                C(512, 512, 3, 1, 1), torch_nn.ReLU(), C(512, 512, 3, 1, 1),
+                torch_nn.ReLU(), C(512, 512, 3, 1, 1), torch_nn.ReLU(),
+                torch_nn.MaxPool2d(2, 2),
+                C(512, 1024, 3, 1, padding=6, dilation=6), torch_nn.ReLU(),
+                C(1024, 1024, 1, 1), torch_nn.ReLU(),
+            ])
+            self.L2Norm3_3 = L2Norm(256, 10)
+            self.L2Norm4_3 = L2Norm(512, 8)
+            self.L2Norm5_3 = L2Norm(512, 5)
+            self.extras = torch_nn.ModuleList([
+                C(1024, 256, 1, 1), C(256, 512, 3, 2, 1),
+                C(512, 128, 1, 1), C(128, 256, 3, 2, 1)])
+            self.loc = torch_nn.ModuleList(
+                [C(c, 4, 3, 1, 1) for c in (256, 512, 512, 1024, 512, 256)])
+            self.conf = torch_nn.ModuleList(
+                [C(c, n, 3, 1, 1) for c, n in
+                 ((256, 4), (512, 2), (512, 2), (1024, 2), (512, 2), (256, 2))])
+
+        def forward(self, x):
+            sources, loc, conf = [], [], []
+            for k in range(16):
+                x = self.vgg[k](x)
+            sources.append(self.L2Norm3_3(x))
+            for k in range(16, 23):
+                x = self.vgg[k](x)
+            sources.append(self.L2Norm4_3(x))
+            for k in range(23, 30):
+                x = self.vgg[k](x)
+            sources.append(self.L2Norm5_3(x))
+            for k in range(30, len(self.vgg)):
+                x = self.vgg[k](x)
+            sources.append(x)
+            for k, v in enumerate(self.extras):
+                x = F.relu(v(x))
+                if k % 2 == 1:
+                    sources.append(x)
+            cx = self.conf[0](sources[0])
+            bg = torch.max(cx[:, 0:3], dim=1, keepdim=True)[0]
+            conf.append(F.softmax(
+                torch.cat([bg, cx[:, 3:]], 1).permute(0, 2, 3, 1), -1))
+            loc.append(self.loc[0](sources[0]).permute(0, 2, 3, 1))
+            for i in range(1, 6):
+                conf.append(F.softmax(
+                    self.conf[i](sources[i]).permute(0, 2, 3, 1), -1))
+                loc.append(self.loc[i](sources[i]).permute(0, 2, 3, 1))
+            return loc, conf
+
+    torch.manual_seed(0)
+    net = Net()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch_nn.Conv2d):
+                m.weight.normal_(0, 0.03)
+                m.bias.normal_(0, 0.02)
+    net.eval()
+
+    x = torch.rand(1, 3, 128, 96) * 50
+    with torch.no_grad():
+        ref_loc, ref_conf = net(x)
+
+    params = convert_s3fd({k: v.numpy() for k, v in net.state_dict().items()})
+    got_loc, got_conf = S3FDNet().apply(
+        params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    for a, b in zip(got_loc, ref_loc):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=2e-3,
+                                   atol=2e-3)
+    for a, b in zip(got_conf, ref_conf):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=2e-3,
+                                   atol=2e-3)
+
+    # decode semantics: zero offsets return the priors as corner boxes
+    pri = priors_for((128, 96), [tuple(l.shape[1:3]) for l in got_loc])
+    dec = decode_boxes(np.zeros_like(pri), pri)
+    np.testing.assert_allclose(dec[:, 2] - dec[:, 0], pri[:, 2], atol=1e-6)
+    # greedy NMS keeps the higher-scoring of two overlapping boxes
+    dets = np.array([[0, 0, 10, 10, 0.9], [1, 1, 11, 11, 0.8],
+                     [50, 50, 60, 60, 0.7]], np.float32)
+    assert nms(dets, 0.3).tolist() == [0, 2]
+
+    # end-to-end host path runs and returns (N, 5)
+    det = S3FD(params)
+    out = det.detect_faces(np.random.default_rng(0).integers(
+        0, 255, (128, 96, 3)).astype(np.uint8), conf_th=0.0)
+    assert out.ndim == 2 and out.shape[1] == 5
