@@ -84,15 +84,15 @@ def motion_bucket_from_landmarks(landmarks: np.ndarray, max_value: int = 128
     return int(min(d.mean() * 8.0, max_value))
 
 
-def motion_bucket_from_flow(frames: np.ndarray, max_value: int = 128) -> int:
-    """Coarse optical-flow-magnitude bucket (stand-in for the reference's
-    Farneback flow estimator, ``motion_estimation_service.py:113-129``):
-    mean absolute frame difference of downsampled grayscale frames."""
+def motion_bucket_from_flow(frames: np.ndarray, max_value: int = 255) -> int:
+    """Farneback optical-flow motion bucket
+    (``motion_estimation_service.py:113-129``): per-pair mean flow magnitude
+    * 0.1, maxed over pairs, mapped to 0..255 and clamped to ``max_value``."""
+    from actalker_tpu.frontend.optical_flow import get_motion_score
+
     if len(frames) < 2:
         return 0
-    small = frames[:, ::8, ::8].astype(np.float32).mean(axis=-1)
-    d = np.abs(np.diff(small, axis=0)).mean()
-    return int(min(d * 4.0, max_value))
+    return min(get_motion_score(frames), max_value)
 
 
 class PortraitAudioDataset:

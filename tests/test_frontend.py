@@ -174,3 +174,49 @@ def test_landmark_estimator_fallback_and_shape():
     lm2 = estimate_landmarks(textured, box)
     assert lm2.shape == (5, 2)
     assert (lm2[:, 0] >= box[0] - 8).all() and (lm2[:, 0] <= box[2] + 8).all()
+
+
+def test_farneback_recovers_known_translation():
+    """Synthetic oracle: a smooth image shifted by an integer (dx, dy) must
+    yield flow ~ (dx, dy) in the interior (Farneback semantics of
+    motion_estimation_service.py:33)."""
+    import jax.numpy as jnp
+
+    from actalker_tpu.frontend.optical_flow import farneback_flow
+
+    r = np.random.default_rng(0)
+    base = r.random((80, 96)).astype(np.float32)
+    # smooth the noise so the quadratic model holds locally
+    k = np.exp(-np.linspace(-3, 3, 13) ** 2 / 2)
+    k /= k.sum()
+    img = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 0, base)
+    img = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 1, img)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+
+    dx, dy = 3, -2
+    nxt = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+    flow = np.asarray(farneback_flow(jnp.asarray(img), jnp.asarray(nxt)))
+    inner = flow[15:-15, 15:-15]
+    assert abs(inner[..., 0].mean() - dx) < 0.35, inner[..., 0].mean()
+    assert abs(inner[..., 1].mean() - dy) < 0.35, inner[..., 1].mean()
+
+
+def test_motion_score_orders_by_motion():
+    from actalker_tpu.frontend.optical_flow import (
+        get_motion_score, magnitude_to_bucket)
+
+    r = np.random.default_rng(1)
+    img = r.random((64, 64)).astype(np.float32)
+    k = np.exp(-np.linspace(-2, 2, 9) ** 2)
+    k /= k.sum()
+    img = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 0, img)
+    img = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 1, img)
+    img = img / img.max() * 255
+
+    def clip(shift):
+        return np.stack([np.roll(img, i * shift, axis=1) for i in range(3)])
+
+    slow, fast = get_motion_score(clip(1)), get_motion_score(clip(5))
+    assert get_motion_score(clip(0)[:1]) == 0      # single frame
+    assert 0 <= slow < fast <= 255
+    assert magnitude_to_bucket(10.0) == 255 and magnitude_to_bucket(-1) == 0
