@@ -1,0 +1,216 @@
+"""DWPose stack parity tests: YOLOX person detector (stage 1) against a
+torch re-implementation of the Megvii graph (the reference runs it as ONNX,
+src/dwpose/onnxdet.py), plus decode/NMS tails against the reference's numpy
+formulas."""
+import numpy as np
+import jax.numpy as jnp
+
+from actalker_tpu.models.yolox import (
+    YoloXConfig, YoloXNet, YoloXPersonDetector, convert_yolox,
+    decode_predictions, letterbox, multiclass_nms, nms_plus1)
+
+
+def _build_torch_yolox(cfg):
+    import torch
+    import torch.nn as tnn
+
+    def ch(c):
+        return int(c * cfg.width)
+
+    def n(d):
+        return max(round(d * cfg.depth), 1)
+
+    class Conv(tnn.Module):
+        def __init__(self, c1, c2, k=1, s=1):
+            super().__init__()
+            self.conv = tnn.Conv2d(c1, c2, k, s, k // 2, bias=False)
+            self.bn = tnn.BatchNorm2d(c2, eps=1e-3)
+
+        def forward(self, x):
+            return tnn.functional.silu(self.bn(self.conv(x)))
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, c1, c2, shortcut=True):
+            super().__init__()
+            self.conv1 = Conv(c1, c2, 1)
+            self.conv2 = Conv(c2, c2, 3)
+            self.add = shortcut and c1 == c2
+
+        def forward(self, x):
+            y = self.conv2(self.conv1(x))
+            return x + y if self.add else y
+
+    class CSP(tnn.Module):
+        def __init__(self, c1, c2, num=1, shortcut=True):
+            super().__init__()
+            c_ = c2 // 2
+            self.conv1 = Conv(c1, c_, 1)
+            self.conv2 = Conv(c1, c_, 1)
+            self.conv3 = Conv(2 * c_, c2, 1)
+            self.m = tnn.Sequential(
+                *[Bottleneck(c_, c_, shortcut) for _ in range(num)])
+
+        def forward(self, x):
+            import torch as T
+            return self.conv3(T.cat([self.m(self.conv1(x)),
+                                     self.conv2(x)], 1))
+
+    class SPP(tnn.Module):
+        def __init__(self, c1, c2):
+            super().__init__()
+            c_ = c1 // 2
+            self.conv1 = Conv(c1, c_, 1)
+            self.conv2 = Conv(c_ * 4, c2, 1)
+
+        def forward(self, x):
+            import torch as T
+            import torch.nn.functional as F
+            x = self.conv1(x)
+            ps = [F.max_pool2d(x, k, 1, k // 2) for k in (5, 9, 13)]
+            return self.conv2(T.cat([x] + ps, 1))
+
+    class Focus(tnn.Module):
+        def __init__(self, c1, c2, k=3):
+            super().__init__()
+            self.conv = Conv(c1 * 4, c2, k)
+
+        def forward(self, x):
+            import torch as T
+            return self.conv(T.cat([x[..., ::2, ::2], x[..., 1::2, ::2],
+                                    x[..., ::2, 1::2], x[..., 1::2, 1::2]],
+                                   1))
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            bb = tnn.Module()
+            bb2 = tnn.Module()
+            bb2.stem = Focus(3, ch(64))
+            bb2.dark2 = tnn.Sequential(Conv(ch(64), ch(128), 3, 2),
+                                       CSP(ch(128), ch(128), n(3)))
+            bb2.dark3 = tnn.Sequential(Conv(ch(128), ch(256), 3, 2),
+                                       CSP(ch(256), ch(256), n(9)))
+            bb2.dark4 = tnn.Sequential(Conv(ch(256), ch(512), 3, 2),
+                                       CSP(ch(512), ch(512), n(9)))
+            bb2.dark5 = tnn.Sequential(
+                Conv(ch(512), ch(1024), 3, 2), SPP(ch(1024), ch(1024)),
+                CSP(ch(1024), ch(1024), n(3), False))
+            bb.backbone = bb2
+            bb.lateral_conv0 = Conv(ch(1024), ch(512), 1)
+            bb.C3_p4 = CSP(ch(1024), ch(512), n(3), False)
+            bb.reduce_conv1 = Conv(ch(512), ch(256), 1)
+            bb.C3_p3 = CSP(ch(512), ch(256), n(3), False)
+            bb.bu_conv2 = Conv(ch(256), ch(256), 3, 2)
+            bb.C3_n3 = CSP(ch(512), ch(512), n(3), False)
+            bb.bu_conv1 = Conv(ch(512), ch(512), 3, 2)
+            bb.C3_n4 = CSP(ch(1024), ch(1024), n(3), False)
+            self.backbone = bb
+            hd = tnn.Module()
+            hd.stems = tnn.ModuleList(
+                [Conv(c, ch(256), 1)
+                 for c in (ch(256), ch(512), ch(1024))])
+            hd.cls_convs = tnn.ModuleList(
+                [tnn.Sequential(Conv(ch(256), ch(256), 3),
+                                Conv(ch(256), ch(256), 3))
+                 for _ in range(3)])
+            hd.reg_convs = tnn.ModuleList(
+                [tnn.Sequential(Conv(ch(256), ch(256), 3),
+                                Conv(ch(256), ch(256), 3))
+                 for _ in range(3)])
+            hd.cls_preds = tnn.ModuleList(
+                [tnn.Conv2d(ch(256), 80, 1) for _ in range(3)])
+            hd.reg_preds = tnn.ModuleList(
+                [tnn.Conv2d(ch(256), 4, 1) for _ in range(3)])
+            hd.obj_preds = tnn.ModuleList(
+                [tnn.Conv2d(ch(256), 1, 1) for _ in range(3)])
+            self.head = hd
+
+        def forward(self, x):
+            import torch as T
+            import torch.nn.functional as F
+            bb = self.backbone.backbone
+            x = bb.stem(x)
+            x = bb.dark2(x)
+            d3 = bb.dark3(x)
+            d4 = bb.dark4(d3)
+            d5 = bb.dark5(d4)
+            nk = self.backbone
+            l0 = nk.lateral_conv0(d5)
+            p4 = nk.C3_p4(T.cat([F.interpolate(l0, scale_factor=2), d4], 1))
+            r1 = nk.reduce_conv1(p4)
+            o2 = nk.C3_p3(T.cat([F.interpolate(r1, scale_factor=2), d3], 1))
+            o1 = nk.C3_n3(T.cat([nk.bu_conv2(o2), r1], 1))
+            o0 = nk.C3_n4(T.cat([nk.bu_conv1(o1), l0], 1))
+            outs = []
+            for i, f in enumerate((o2, o1, o0)):
+                s = self.head.stems[i](f)
+                cf = self.head.cls_convs[i](s)
+                rf = self.head.reg_convs[i](s)
+                y = T.cat([self.head.reg_preds[i](rf),
+                           self.head.obj_preds[i](rf).sigmoid(),
+                           self.head.cls_preds[i](cf).sigmoid()], 1)
+                outs.append(y.flatten(2).permute(0, 2, 1))
+            return T.cat(outs, 1)
+
+    return Net()
+
+
+def test_yolox_matches_torch_oracle():
+    import torch
+
+    cfg = YoloXConfig(depth=0.33, width=0.25)
+    torch.manual_seed(0)
+    net = _build_torch_yolox(cfg)
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0, 0.05)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.normal_(0, 0.1)
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    net.eval()
+
+    x = torch.rand(1, 3, 64, 96) * 255
+    with torch.no_grad():
+        ref = net(x).numpy()
+
+    params = convert_yolox(
+        {k: v.numpy() for k, v in net.state_dict().items()}, cfg)
+    got = YoloXNet(cfg).apply(params,
+                              jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-3, atol=3e-3)
+
+
+def test_yolox_decode_and_nms_match_reference_formulas():
+    r = np.random.default_rng(0)
+    n = (80 * 80 + 40 * 40 + 20 * 20)
+    raw = r.normal(0, 1, (1, n, 85)).astype(np.float32)
+    out = decode_predictions(raw, (640, 640))
+    # first cell of stride-8 grid: xy = (raw + (0,0)) * 8, wh = exp(raw) * 8
+    np.testing.assert_allclose(out[0, 0, :2], raw[0, 0, :2] * 8, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 0, 2:4], np.exp(raw[0, 0, 2:4]) * 8,
+                               rtol=1e-6)
+    # +1-area NMS keeps the best of overlapping boxes
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [40, 40, 50, 50]],
+                     np.float32)
+    assert nms_plus1(boxes, np.array([0.9, 0.8, 0.7]), 0.3) == [0, 2]
+    dets = multiclass_nms(boxes, np.array([[0.9], [0.8], [0.05]]), 0.3, 0.1)
+    assert dets.shape == (1, 6) and dets[0, 5] == 0
+
+    img = np.zeros((100, 50, 3), np.uint8)
+    padded, ratio = letterbox(img, (64, 64))
+    assert padded.shape == (64, 64, 3) and abs(ratio - 0.64) < 1e-9
+    assert padded[0, -1, 0] == 114.0  # pad value
+
+
+def test_yolox_person_detector_host_path():
+    cfg = YoloXConfig(depth=0.33, width=0.25)
+    det = YoloXPersonDetector(cfg=cfg, input_size=(64, 64))
+    out = det(np.random.default_rng(0).integers(
+        0, 255, (80, 60, 3)).astype(np.uint8))
+    assert out.ndim == 2 and out.shape[1] == 4
