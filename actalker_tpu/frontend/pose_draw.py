@@ -200,3 +200,30 @@ def rescale_pose_sequence(detected: List[Dict], ref_body: np.ndarray,
             q["hands"] = np.asarray(p["hands"]) * a + b
         out.append(q)
     return out
+
+
+class Wholebody:
+    """DWPose two-stage wholebody estimator (``src/dwpose/wholebody.py:8-63``)
+    over our TPU-native YOLOX + RTMPose models: person detect -> per-box
+    top-down pose -> neck synthesis + OpenPose index remap."""
+
+    def __init__(self, det=None, pose=None):
+        from actalker_tpu.models.rtmpose import RTMPoseWholebody
+        from actalker_tpu.models.yolox import YoloXPersonDetector
+
+        self.det = det or YoloXPersonDetector()
+        self.pose = pose or RTMPoseWholebody()
+
+    def __call__(self, image_bgr: np.ndarray):
+        boxes = self.det(image_bgr)
+        keypoints, scores = self.pose(image_bgr, boxes)
+        info = np.concatenate([keypoints, scores[..., None]], axis=-1)
+        # synthesize the neck joint from the shoulders (wholebody.py:40-45)
+        neck = info[:, [5, 6]].mean(axis=1)
+        neck[:, 2:] = np.logical_and(info[:, 5, 2:] > 0.3,
+                                     info[:, 6, 2:] > 0.3).astype(np.float64)
+        info = np.insert(info, 17, neck, axis=1)
+        mmpose_idx = [17, 6, 8, 10, 7, 9, 12, 14, 16, 13, 15, 2, 1, 4, 3]
+        openpose_idx = [1, 2, 3, 4, 6, 7, 8, 9, 10, 12, 13, 14, 15, 16, 17]
+        info[:, openpose_idx] = info[:, mmpose_idx]
+        return info[..., :2], info[..., 2]

@@ -214,3 +214,272 @@ def test_yolox_person_detector_host_path():
     out = det(np.random.default_rng(0).integers(
         0, 255, (80, 60, 3)).astype(np.uint8))
     assert out.ndim == 2 and out.shape[1] == 4
+
+
+def _build_torch_rtmpose(cfg):
+    import math
+
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    def ch(c):
+        return int(c * cfg.widen)
+
+    def n(d):
+        return max(round(d * cfg.deepen), 1)
+
+    class Conv(tnn.Module):
+        def __init__(self, c1, c2, k=3, s=1, g=1):
+            super().__init__()
+            self.conv = tnn.Conv2d(c1, c2, k, s, k // 2, groups=g, bias=False)
+            self.bn = tnn.BatchNorm2d(c2, eps=1e-5)
+
+        def forward(self, x):
+            return F.silu(self.bn(self.conv(x)))
+
+    class DWSep(tnn.Module):
+        def __init__(self, c1, c2, k=5):
+            super().__init__()
+            self.depthwise_conv = Conv(c1, c1, k, g=c1)
+            self.pointwise_conv = Conv(c1, c2, 1)
+
+        def forward(self, x):
+            return self.pointwise_conv(self.depthwise_conv(x))
+
+    class Block(tnn.Module):
+        def __init__(self, c1, c2, ident):
+            super().__init__()
+            hidden = int(c2 * 0.5)
+            self.conv1 = Conv(c1, hidden, 3)
+            self.conv2 = DWSep(hidden, c2, 5)
+            self.add = ident and c1 == c2
+
+        def forward(self, x):
+            y = self.conv2(self.conv1(x))
+            return x + y if self.add else y
+
+    class CA(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.fc = tnn.Conv2d(c, c, 1)
+
+        def forward(self, x):
+            import torch
+            w = F.hardsigmoid(self.fc(x.mean((2, 3), keepdim=True)))
+            return x * w
+
+    class CSP(tnn.Module):
+        def __init__(self, c1, c2, num, ident):
+            super().__init__()
+            mid = int(c2 * 0.5)
+            self.main_conv = Conv(c1, mid, 1)
+            self.short_conv = Conv(c1, mid, 1)
+            self.final_conv = Conv(2 * mid, c2, 1)
+            self.blocks = tnn.Sequential(
+                *[Block(mid, mid, ident) for _ in range(num)])
+            self.attention = CA(2 * mid)
+
+        def forward(self, x):
+            import torch
+            y = torch.cat([self.blocks(self.main_conv(x)),
+                           self.short_conv(x)], 1)
+            return self.final_conv(self.attention(y))
+
+    class SPP(tnn.Module):
+        def __init__(self, c1, c2):
+            super().__init__()
+            self.conv1 = Conv(c1, c1 // 2, 1)
+            self.conv2 = Conv(c1 // 2 * 4, c2, 1)
+
+        def forward(self, x):
+            import torch
+            x = self.conv1(x)
+            ps = [F.max_pool2d(x, k, 1, k // 2) for k in (5, 9, 13)]
+            return self.conv2(torch.cat([x] + ps, 1))
+
+    class ScaleNorm(tnn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.g = tnn.Parameter(torch.ones(1))
+            self.scale = dim ** -0.5
+
+        def forward(self, x):
+            norm = x.norm(dim=-1, keepdim=True) * self.scale
+            return x / norm.clamp(min=1e-5) * self.g
+
+    class Scale(tnn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.scale = tnn.Parameter(torch.ones(dim))
+
+        def forward(self, x):
+            return x * self.scale
+
+    class GAU(tnn.Module):
+        def __init__(self, hidden, s, exp):
+            super().__init__()
+            import torch
+            e = hidden * exp
+            self.e, self.s = e, s
+            self.ln = ScaleNorm(hidden)
+            self.uv = tnn.Linear(hidden, 2 * e + s)
+            self.gamma = tnn.Parameter(torch.randn(2, s) * 0.02)
+            self.beta = tnn.Parameter(torch.zeros(2, s))
+            self.o = tnn.Linear(e, hidden)
+            self.res_scale = Scale(hidden)
+            self.sqrt_s = math.sqrt(s)
+
+        def forward(self, x):
+            import torch
+            y = self.ln(x)
+            uv = F.silu(self.uv(y))
+            u, v, base = torch.split(uv, [self.e, self.e, self.s], dim=-1)
+            base = base.unsqueeze(2) * self.gamma[None, None] + self.beta
+            q, k = torch.unbind(base, dim=2)
+            qk = torch.bmm(q, k.transpose(1, 2))
+            kernel = torch.square(F.relu(qk / self.sqrt_s))
+            out = u * torch.bmm(kernel, v)
+            return self.res_scale(x) + self.o(out)
+
+    arch = ((64, 128, 3, True, False), (128, 256, 6, True, False),
+            (256, 512, 6, True, False), (512, 1024, 3, False, True))
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            import torch
+            bb = tnn.Module()
+            half = int(arch[0][0] * cfg.widen // 2)
+            bb.stem = tnn.Sequential(Conv(3, half, 3, 2),
+                                     Conv(half, half, 3, 1),
+                                     Conv(half, ch(arch[0][0]), 3, 1))
+            for i, (c1, c2, nb, ident, spp) in enumerate(arch, start=1):
+                mods = [Conv(ch(c1), ch(c2), 3, 2)]
+                if spp:
+                    mods.append(SPP(ch(c2), ch(c2)))
+                mods.append(CSP(ch(c2), ch(c2), n(nb), ident))
+                setattr(bb, f"stage{i}", tnn.Sequential(*mods))
+            self.backbone = bb
+            hd = tnn.Module()
+            k = cfg.num_keypoints
+            w, h = cfg.input_size
+            fh, fw = h // 32, w // 32
+            hd.final_layer = tnn.Conv2d(ch(1024), k, 7, 1, 3)
+            hd.mlp = tnn.Sequential(ScaleNorm(fh * fw),
+                                    tnn.Linear(fh * fw, cfg.gau_hidden,
+                                               bias=False))
+            hd.gau = GAU(cfg.gau_hidden, cfg.gau_s, cfg.gau_expansion)
+            hd.cls_x = tnn.Linear(cfg.gau_hidden, int(w * 2), bias=False)
+            hd.cls_y = tnn.Linear(cfg.gau_hidden, int(h * 2), bias=False)
+            self.head = hd
+
+        def forward(self, x):
+            bb = self.backbone
+            x = bb.stem(x)
+            for i in range(1, 5):
+                x = getattr(bb, f"stage{i}")(x)
+            y = self.head.final_layer(x)
+            tokens = y.flatten(2)
+            tokens = self.head.mlp(tokens)
+            tokens = self.head.gau(tokens)
+            return self.head.cls_x(tokens), self.head.cls_y(tokens)
+
+    return Net()
+
+
+def test_rtmpose_matches_torch_oracle():
+    import torch
+
+    from actalker_tpu.models.rtmpose import (
+        RTMPoseConfig, RTMPoseNet, convert_rtmpose)
+
+    cfg = RTMPoseConfig(widen=0.25, deepen=0.34, num_keypoints=17,
+                        input_size=(64, 64), gau_hidden=64, gau_s=32)
+    torch.manual_seed(0)
+    net = _build_torch_rtmpose(cfg)
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0, 0.05)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.normal_(0, 0.1)
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0, 0.05)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.02)
+    net.eval()
+
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref_x, ref_y = net(x)
+
+    params = convert_rtmpose(
+        {k: v.numpy() for k, v in net.state_dict().items()})
+    got_x, got_y = RTMPoseNet(cfg).apply(
+        params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(got_x), ref_x.numpy(),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(got_y), ref_y.numpy(),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_rtmpose_pre_post_tails():
+    from actalker_tpu.models.rtmpose import (
+        bbox_xyxy2cs, get_warp_matrix, simcc_decode, top_down_affine,
+        warp_affine)
+
+    c, s = bbox_xyxy2cs(np.array([10, 20, 50, 100], np.float32))
+    np.testing.assert_allclose(c, [30, 60])
+    np.testing.assert_allclose(s, [50, 100])  # 1.25 padding
+
+    # identity-ish warp: center crop of the right size maps 1:1
+    img = np.arange(40 * 40 * 3, dtype=np.float32).reshape(40, 40, 3)
+    mat = get_warp_matrix(np.array([20.0, 20.0]), np.array([40.0, 40.0]),
+                          0, (40, 40))
+    out = warp_affine(img, mat, (40, 40))
+    np.testing.assert_allclose(out[5:35, 5:35], img[5:35, 5:35], atol=1e-3)
+
+    # simcc argmax + min(x, y) score rule
+    sx = np.zeros((1, 2, 10), np.float32)
+    sy = np.zeros((1, 2, 8), np.float32)
+    sx[0, 0, 6] = 0.9
+    sy[0, 0, 2] = 0.5
+    sx[0, 1, 3] = -1.0
+    sy[0, 1, 1] = -1.0
+    kpts, vals = simcc_decode(sx, sy, 2.0)
+    np.testing.assert_allclose(kpts[0, 0], [3.0, 1.0])
+    assert abs(vals[0, 0] - 0.5) < 1e-6
+    # masked by the <=0 score rule; the reference divides the -1 sentinel
+    # by split_ratio too (onnxpose.py:349-351)
+    np.testing.assert_allclose(kpts[0, 1], [-0.5, -0.5])
+
+    crop, scale = top_down_affine((32, 32), np.array([20.0, 40.0]),
+                                  np.array([20.0, 20.0]), img)
+    assert crop.shape == (32, 32, 3)
+    np.testing.assert_allclose(scale, [40.0, 40.0])  # aspect-fixed
+
+
+def test_wholebody_remap():
+    """Neck synthesis + OpenPose remap (wholebody.py:37-56) using fake
+    det/pose callables."""
+    from actalker_tpu.frontend.pose_draw import Wholebody
+
+    rng = np.random.default_rng(0)
+    kp = rng.random((1, 133, 2)).astype(np.float64)
+    sc = np.full((1, 133), 0.9)
+
+    wb = Wholebody(det=lambda img: np.array([[0, 0, 10, 10]]),
+                   pose=lambda img, boxes: (kp, sc))
+    keypoints, scores = wb(np.zeros((16, 16, 3), np.uint8))
+    assert keypoints.shape == (1, 134, 2)
+    np.testing.assert_allclose(keypoints[0, 1], kp[0, [5, 6]].mean(0))
+    np.testing.assert_allclose(keypoints[0, 2], kp[0, 6])  # right shoulder
+    np.testing.assert_allclose(keypoints[0, 5], kp[0, 5])  # 5 not remapped
+    np.testing.assert_allclose(keypoints[0, 6], kp[0, 7])  # left elbow
+    assert scores[0, 1] == 1.0
