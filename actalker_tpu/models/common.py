@@ -52,6 +52,12 @@ class GroupNorm32(nn.Module):
         a = inv_c * scale[None]
         b = bias[None] - mean_c * a
         bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+        # Affine in the activation dtype: an f32 `a` would promote the whole
+        # map to f32 (profiled: 294 MB f32 broadcasts per temporal-GN call).
+        # Stats above stay fp32; the bf16 rounding of a/b is within bf16
+        # activation noise.
+        a = a.astype(orig_dtype)
+        b = b.astype(orig_dtype)
         y = x * a.reshape(bshape) + b.reshape(bshape)
         return y.astype(orig_dtype)
 
@@ -71,7 +77,9 @@ class LayerNormF32(nn.Module):
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         a = jax.lax.rsqrt(var + self.epsilon) * scale
         b = bias - mean * a
-        y = x * a + b
+        # Apply in the activation dtype (see GroupNorm32: an f32 affine
+        # promotes the whole tensor to f32 on the way through).
+        y = x * a.astype(orig_dtype) + b.astype(orig_dtype)
         return y.astype(orig_dtype)
 
 

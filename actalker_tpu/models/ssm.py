@@ -102,6 +102,12 @@ class SS2DUnit(nn.Module):
         )
         self.Ds = self.param("Ds", lambda key: jnp.ones((k * d,), jnp.float32))
 
+    def weights(self):
+        """Raw per-direction projection/state params, for callers that drive
+        the grouped Pallas kernel directly (param tree unchanged)."""
+        return (self.x_proj_weight, self.dt_projs_weight, self.dt_projs_bias,
+                self.A_logs, self.Ds)
+
     def scan_arranged(self, x_a, tm_a=None, lc: int = 64):
         """Bidirectional scan on a pre-arranged padded buffer.
 
@@ -186,6 +192,19 @@ class SS2DUnit(nn.Module):
         return y
 
 
+class _LinWeight(nn.Module):
+    """Parameter-compatible stand-in for a bias-free ``nn.Dense`` that
+    returns the raw kernel (so sibling projections can be fused into one
+    matmul without changing the checkpoint tree)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (in_features, self.features), jnp.float32)
+
+
 class SS2DCondV10(nn.Module):
     """Masked-select dual-branch SSM control block (production variant).
 
@@ -252,65 +271,109 @@ class SS2DCondV10(nn.Module):
                          name="out_proj")(y)
 
         if self.scan_impl == "pallas" and d_inner % 128 == 0:
-            # Arranged fast path: ONE relayout of x per block; both branches
-            # and both scan directions run in the kernel's (L, B, D) layout.
+            # Grouped fast path: ONE relayout of x and ONE Pallas launch per
+            # block — all (branch, direction) scans ride a (G, ng, nl) grid;
+            # the dt projection/bias/softplus and the transparency masking
+            # happen inside the kernel (see ``ssm_scan_grouped``), so the
+            # per-direction delta tensors, the token-tail concats and the
+            # alignment pads of the previous design never hit HBM.
             from actalker_tpu.ops.selective_scan_pallas import (
-                _BT, _pick_lc, _round_up,
+                _BT, MASK_LANE, _pick_lc, _round_up, ssm_scan_grouped,
             )
 
+            n = self.d_state
+            rank = dt_rank
+            branches = []
+            if self.use_audio:
+                branches.append(("1", "audio_proj", audio_cond, audio_mask,
+                                 "audio_unit"))
+            if self.use_exp:
+                branches.append(("2", "exp_proj", exp_cond, exp_mask,
+                                 "exp_unit"))
+            nb = len(branches)
             bp = _round_up(b, _BT)
-            x_a = jnp.moveaxis(x, 0, 1)
-            if bp != b:
-                x_a = jnp.pad(x_a, ((0, 0), (0, bp - b), (0, 0)))
-            id_a = None
-            if id_tok is not None:
-                id_a = jnp.moveaxis(
-                    jnp.broadcast_to(id_tok, (b,) + id_tok.shape[1:]), 0, 1)
-                if bp != b:
-                    id_a = jnp.pad(id_a, ((0, 0), (0, bp - b), (0, 0)))
 
-            def branch_fast(name, proj_name, cond, mask, unit_name):
-                xz_a = dense(d_inner, use_bias=False, dtype=self.dtype,
-                             name=f"in_proj{name}")(x_a)       # (l, bp, dI)
+            tails, sels, units, kernels = [], [], [], []
+            for name, proj_name, cond, mask, unit_name in branches:
+                units.append(SS2DUnit(
+                    d_inner, d_state=n, dt_rank=rank,
+                    scan_impl=self.scan_impl, dtype=self.dtype,
+                    name=unit_name,
+                ))
+                kernels.append(_LinWeight(d_inner, name=f"in_proj{name}")(c))
                 cond_tok = nn.silu(dense(d_inner, use_bias=False,
                                          dtype=self.dtype,
                                          name=proj_name)(cond))
-                cond_a = jnp.moveaxis(
-                    jnp.broadcast_to(cond_tok, (b,) + cond_tok.shape[1:]), 0, 1)
-                if bp != b:
-                    cond_a = jnp.pad(cond_a, ((0, 0), (0, bp - b), (0, 0)))
-                extra = ([id_a] if id_a is not None else []) + [cond_a]
-                ntok = sum(t.shape[0] for t in extra)
-                lfull = l + ntok
-                lc = _pick_lc(64, lfull, d_inner, 128, x.dtype.itemsize)
-                lp = _round_up(lfull, lc)
-                seq = jnp.concatenate([xz_a] + extra, axis=0)
-                if lp != lfull:
-                    seq = jnp.pad(seq, ((0, lp - lfull), (0, 0), (0, 0)))
-                sel = sel_of(mask)
-                sel_a = jnp.moveaxis(sel, 0, 1)
-                if bp != b:
-                    sel_a = jnp.pad(sel_a, ((0, 0), (0, bp - b)))
-                tm = jnp.concatenate([
-                    sel_a,
-                    jnp.ones((ntok, bp), bool),
-                    jnp.zeros((lp - lfull, bp), bool),
-                ], axis=0)
-                unit = SS2DUnit(
-                    d_inner, d_state=self.d_state, dt_rank=dt_rank,
-                    scan_impl=self.scan_impl, dtype=self.dtype,
-                    name=unit_name,
-                )
-                y_a = unit.scan_arranged(seq, tm, lc=lc)[:l]
-                return jnp.where(sel_a[:, :, None], y_a, xz_a)
+                tail = ([id_tok] if id_tok is not None else []) + [cond_tok]
+                tail = jnp.concatenate(
+                    [jnp.broadcast_to(t, (b,) + t.shape[1:]) for t in tail],
+                    axis=1)                                  # (b, ntok, dI)
+                tails.append(tail)
+                sels.append(sel_of(mask))
+            ntoks = [t.shape[1] for t in tails]
+            ntok_max = max(ntoks)
+            lc = _pick_lc(64, l + ntok_max, d_inner, 128, x.dtype.itemsize)
+            lp = _round_up(l + ntok_max, lc)
 
+            x_a = jnp.moveaxis(x, 0, 1)                      # (l, b, c)
+            x_a = jnp.pad(x_a, ((0, lp - l), (0, bp - b), (0, 0)))
+            w_in = jnp.concatenate(kernels, axis=1).astype(self.dtype)
+            xz = jnp.einsum("lbc,cd->lbd", x_a.astype(self.dtype), w_in)
+            for bi, tail in enumerate(tails):                # token tails
+                t_a = jnp.moveaxis(tail, 0, 1).astype(xz.dtype)
+                t_a = jnp.pad(t_a, ((0, 0), (0, bp - b), (0, 0)))
+                xz = jax.lax.dynamic_update_slice(
+                    xz, t_a, (l, 0, bi * d_inner))
+
+            # packed slab [dts | B | C | inactivity] per (branch, dir) group
+            wss, dtws, a_gs, d_gs, b_gs, tms = [], [], [], [], [], []
+            for bi, unit in enumerate(units):
+                xw, dtw, dtb, a_log, d_skip = unit.weights()
+                for k in range(2):
+                    wblk = jnp.zeros((nb * d_inner, 128), self.dtype)
+                    wblk = wblk.at[
+                        bi * d_inner:(bi + 1) * d_inner, :rank + 2 * n
+                    ].set(jnp.transpose(xw[k]).astype(self.dtype))
+                    wss.append(wblk)
+                    row = jnp.zeros((128, d_inner), jnp.float32)
+                    row = row.at[:rank].set(
+                        jnp.transpose(dtw[k]).astype(jnp.float32))
+                    row = row.at[MASK_LANE].set(-1e9)
+                    dtws.append(row)
+                    a_gs.append(-jnp.exp(
+                        a_log[k * d_inner:(k + 1) * d_inner]
+                        .astype(jnp.float32)))
+                    d_gs.append(d_skip[k * d_inner:(k + 1) * d_inner]
+                                .astype(jnp.float32))
+                    b_gs.append(dtb[k].astype(jnp.float32))
+                sel_a = jnp.moveaxis(sels[bi], 0, 1)
+                sel_a = jnp.pad(sel_a, ((0, 0), (0, bp - b)))
+                tms.append(jnp.concatenate([
+                    sel_a,
+                    jnp.ones((ntoks[bi], bp), bool),
+                    jnp.zeros((lp - l - ntoks[bi], bp), bool),
+                ], axis=0))                                  # (lp, bp)
+            w_slab = jnp.concatenate(wss, axis=1)            # (nb*dI, G*128)
+            slab = jnp.einsum("lbd,dc->lbc", xz, w_slab)
+            inact = jnp.stack(
+                [(~t).astype(slab.dtype) for t in tms], axis=-1)
+            mask_mat = jnp.zeros((nb, 2 * nb * 128), slab.dtype)
+            for bi in range(nb):
+                mask_mat = mask_mat.at[bi, 2 * bi * 128 + MASK_LANE].set(1.0)
+                mask_mat = mask_mat.at[
+                    bi, (2 * bi + 1) * 128 + MASK_LANE].set(1.0)
+            slab = slab + jnp.einsum("lbn,nc->lbc", inact, mask_mat)
+
+            y_g = ssm_scan_grouped(
+                xz, slab, jnp.stack(dtws), jnp.stack(a_gs), jnp.stack(d_gs),
+                jnp.stack(b_gs), rank=rank, lc=lc)
             outs = []
-            if self.use_audio:
-                outs.append(branch_fast("1", "audio_proj", audio_cond,
-                                        audio_mask, "audio_unit"))
-            if self.use_exp:
-                outs.append(branch_fast("2", "exp_proj", exp_cond, exp_mask,
-                                        "exp_unit"))
+            for bi in range(nb):
+                y_b = (y_g[:l, :, 2 * bi * d_inner:(2 * bi + 1) * d_inner]
+                       + y_g[:l, :, (2 * bi + 1) * d_inner:
+                             (2 * bi + 2) * d_inner]).astype(self.dtype)
+                xz_b = xz[:l, :, bi * d_inner:(bi + 1) * d_inner]
+                outs.append(jnp.where(tms[bi][:l, :, None], y_b, xz_b))
             y = LayerNormF32(name="out_norm")(sum(outs))
             y = dense(self.d_model, use_bias=False, dtype=self.dtype,
                       name="out_proj")(y)

@@ -220,6 +220,161 @@ def ssm_scan(
     return jnp.moveaxis(y[:l, :b, :d], 0, 1)
 
 
+def _ssm_kernel_grouped(u_ref, slab_ref, dtw_ref, A_ref, Dskip_ref,
+                        bias_ref, y_ref, h_scr, dt_scr, *, lc: int,
+                        n_state: int, dp: int, rank_off: int, unroll: int):
+    """Grouped variant: grid (G, ng, nl); G = branches x directions.
+
+    Fuses the dt projection (dts @ dtw + bias), the transparency masking
+    (inactive rows -> exact identity steps) and the softplus into the kernel,
+    so the (L, B, D)-sized delta tensor never exists in HBM — the host side
+    only materializes the packed 128-lane slab [dts | B | C | mask] per
+    group. Masking rides the same matmul: slab lane ``MASK_LANE`` is 1.0 for
+    inactive tokens and the matching ``dtw`` row is -1e9, so inactive rows
+    come out of the projection at delta ~ -1e9 (softplus -> 0 => exact
+    identity recurrence steps), with no separate mask operand.
+
+    Ref shapes (per grid step):
+      u_ref:  (lc, 8, dp)   — the group's in_proj activations (model dtype)
+      slab_ref: (lc, 8, 128) — lanes [0, rank) dts, [rank_off, rank_off+2n)
+                 B|C, lane MASK_LANE the inactivity flag
+      dtw_ref: (1, 128, dp) f32 — dt projection; rows in [rank, MASK_LANE)
+                 and above are zero, row MASK_LANE is -1e9
+      A_ref: (1, 1, n*dp), Dskip/bias: (1, 1, dp) f32
+      h_scr: (8, n*dp) f32 — persists across the innermost (L) grid axis.
+
+    Odd group indices scan right-to-left (both the L-block index map and the
+    in-chunk walk run backwards).
+    """
+    g = pl.program_id(0)
+    lblk = pl.program_id(2)
+    rev = g % 2 == 1
+
+    @pl.when(lblk == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    bias = bias_ref[0].astype(jnp.float32)                    # (1, dp)
+    dskip = Dskip_ref[0].astype(jnp.float32)
+    a_segs = [A_ref[0, :, n * dp:(n + 1) * dp] for n in range(n_state)]
+
+    # whole-chunk dt projection on the MXU: (lc*8, 128) @ (128, dp).
+    dts = slab_ref[:].astype(jnp.float32).reshape(lc * 8, 128)
+    dt_scr[:] = jax.lax.dot_general(
+        dts, dtw_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(lc, 8, dp) + bias[None]
+
+    h0 = tuple(h_scr[:, n * dp:(n + 1) * dp] for n in range(n_state))
+
+    def one_token(i, h):
+        u_t = u_ref[pl.ds(i, 1)][0].astype(jnp.float32)       # (8, dp)
+        dt_t = jax.nn.softplus(dt_scr[pl.ds(i, 1)][0])
+        dtu = dt_t * u_t
+        bc_t = slab_ref[pl.ds(i, 1)][0].astype(jnp.float32)   # (8, 128)
+        y = dskip * u_t
+        hs = []
+        for n in range(n_state):
+            da = jnp.exp(dt_t * a_segs[n])
+            hn = da * h[n] + bc_t[:, rank_off + n:rank_off + n + 1] * dtu
+            y = y + bc_t[:, rank_off + n_state + n:
+                         rank_off + n_state + n + 1] * hn
+            hs.append(hn)
+        y_ref[pl.ds(i, 1)] = y[None].astype(y_ref.dtype)
+        return tuple(hs)
+
+    assert lc % unroll == 0, (lc, unroll)
+
+    def step(ti, h):
+        t = ti * unroll
+        for j in range(unroll):
+            fwd = t + j
+            h = one_token(jnp.where(rev, lc - 1 - fwd, fwd), h)
+        return h
+
+    h = jax.lax.fori_loop(0, lc // unroll, step, h0)
+    for n in range(n_state):
+        h_scr[:, n * dp:(n + 1) * dp] = h[n]
+
+
+MASK_LANE = 126  # slab lane carrying the inactivity flag (see kernel docs)
+
+
+@functools.partial(jax.jit, static_argnames=("rank", "lc"))
+def ssm_scan_grouped(
+    u_g: jax.Array,        # (Lp, Bp, G//2 * Dp) — per-branch in_proj slabs
+    slab_g: jax.Array,     # (Lp, Bp, G * 128) — [dts | B | C | mask] per group
+    dtw_g: jax.Array,      # (G, 128, Dp) f32 — dt projection; row MASK_LANE
+                           #   must be -1e9, rows in [rank, MASK_LANE) zero
+    A_g: jax.Array,        # (G, Dp, N) f32 (pad channels arbitrary)
+    D_g: jax.Array,        # (G, Dp) f32
+    bias_g: jax.Array,     # (G, Dp) f32
+    rank: int,             # dt rank (lanes [0, rank) of each slab are dts)
+    lc: int = 64,
+) -> jax.Array:
+    """All (branch, direction) scans of one SS2D block in a single launch.
+
+    Group g reads activations from branch slab ``g // 2`` of ``u_g`` and scans
+    left-to-right for even g, right-to-left for odd g. Returns
+    (Lp, Bp, G * Dp) with each group's output in its own minor slab (the
+    caller sums direction pairs and applies the masked-select combine).
+    """
+    lp, bp, cg = u_g.shape
+    g = dtw_g.shape[0]
+    dp = cg // (g // 2)
+    n = A_g.shape[-1]
+    lc = _pick_lc(lc, lp, dp, 128, u_g.dtype.itemsize)
+    assert lp % lc == 0 and bp % _BT == 0, (lp, lc, bp)
+    assert slab_g.shape == (lp, bp, g * 128), slab_g.shape
+    assert 2 * n + rank <= MASK_LANE, (n, rank)
+
+    a_exp = jnp.transpose(A_g.astype(jnp.float32), (0, 2, 1))   # (G, N, Dp)
+    a_exp = a_exp.reshape(g, 1, n * dp)
+    Dv = D_g.astype(jnp.float32).reshape(g, 1, dp)
+    bias = bias_g.astype(jnp.float32).reshape(g, 1, dp)
+
+    nl = lp // lc
+    ng = bp // _BT
+
+    def lmap_u(gi_, bi, li):
+        li = jnp.where(gi_ % 2 == 1, nl - 1 - li, li)
+        return (li, bi, gi_ // 2)
+
+    def lmap_slab(gi_, bi, li):
+        li = jnp.where(gi_ % 2 == 1, nl - 1 - li, li)
+        return (li, bi, gi_)
+
+    def lmap_y(gi_, bi, li):
+        li = jnp.where(gi_ % 2 == 1, nl - 1 - li, li)
+        return (li, bi, gi_)
+
+    gmap = lambda gi_, bi, li: (gi_, 0, 0)  # noqa: E731
+
+    return pl.pallas_call(
+        functools.partial(
+            _ssm_kernel_grouped, lc=lc, n_state=n, dp=dp, rank_off=rank,
+            unroll=_unroll_for(dp),
+        ),
+        grid=(g, ng, nl),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((lc, _BT, dp), lmap_u, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc, _BT, 128), lmap_slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, dp), gmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n * dp), gmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dp), gmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dp), gmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lc, _BT, dp), lmap_y, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lp, bp, g * dp), u_g.dtype),
+        scratch_shapes=[pltpu.VMEM((_BT, n * dp), jnp.float32),
+                        pltpu.VMEM((lc, _BT, dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(u_g, slab_g, dtw_g, a_exp, Dv, bias)
+
+
 def arrange_ssm_inputs(u, delta, Bmat, Cmat, lc: int = 64):
     """(B, L, ...) -> padded (L, B, ...) buffers for ``ssm_scan_arranged``.
 

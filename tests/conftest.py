@@ -18,3 +18,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# CPU-suite wall time is dominated by XLA compiles; reuse them across runs.
+from actalker_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

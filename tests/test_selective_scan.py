@@ -143,3 +143,58 @@ class TestPallas:
         want = np.asarray(want)[:, ::-1]
         got = ssm_scan(u, delta, A, B, C, D, bias, reverse=True, lc=16)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+class TestGrouped:
+    """ssm_scan_grouped == four separate arranged scans (2 branches x 2 dirs)."""
+
+    def _build(self, lp=128, bp=8, dp=128, n=8, rank=8, seed=3):
+        from actalker_tpu.ops.selective_scan_pallas import MASK_LANE
+
+        rng = np.random.default_rng(seed)
+        g = 4
+        u_g = (rng.standard_normal((lp, bp, 2 * dp)) * 0.3).astype(np.float32)
+        dts = (rng.standard_normal((g, lp, bp, rank)) * 0.5).astype(np.float32)
+        B = (rng.standard_normal((g, lp, bp, n)) * 0.5).astype(np.float32)
+        C = (rng.standard_normal((g, lp, bp, n)) * 0.5).astype(np.float32)
+        tm = rng.random((2, lp, bp)) > 0.25
+        slab = np.zeros((lp, bp, g * 128), np.float32)
+        for gi in range(g):
+            slab[:, :, gi * 128:gi * 128 + rank] = dts[gi]
+            slab[:, :, gi * 128 + rank:gi * 128 + rank + n] = B[gi]
+            slab[:, :, gi * 128 + rank + n:gi * 128 + rank + 2 * n] = C[gi]
+            slab[:, :, gi * 128 + MASK_LANE] = 1.0 - tm[gi // 2]
+        dtw = np.zeros((g, 128, dp), np.float32)
+        dtw[:, :rank] = rng.standard_normal((g, rank, dp)) * 0.3
+        dtw[:, MASK_LANE] = -1e9
+        A = (-np.exp(rng.standard_normal((g, dp, n)) * 0.3)).astype(np.float32)
+        D = rng.standard_normal((g, dp)).astype(np.float32)
+        bias = (rng.standard_normal((g, dp)) * 0.2).astype(np.float32)
+        return u_g, slab, dtw, tm, A, D, bias, dts, B, C, rank, dp, n
+
+    def test_matches_separate_arranged(self):
+        from actalker_tpu.ops.selective_scan_pallas import (
+            ssm_scan_arranged, ssm_scan_grouped,
+        )
+
+        (u_g, slab, dtw, tm, A, D, bias, dts, B, C,
+         rank, dp, n) = self._build()
+        got = np.asarray(ssm_scan_grouped(
+            jnp.asarray(u_g), jnp.asarray(slab), jnp.asarray(dtw),
+            jnp.asarray(A), jnp.asarray(D), jnp.asarray(bias),
+            rank=rank, lc=32,
+        ))
+        for gi in range(4):
+            branch = gi // 2
+            u_b = u_g[:, :, branch * dp:(branch + 1) * dp]
+            dt_b = np.einsum("lbr,rd->lbd", dts[gi], dtw[gi][:rank])
+            dt_b = np.where(tm[branch][:, :, None], dt_b, -1e9)
+            bc = np.concatenate([B[gi], C[gi]], axis=-1)
+            bc = np.pad(bc, ((0, 0), (0, 0), (0, 128 - 2 * n)))
+            want = np.asarray(ssm_scan_arranged(
+                jnp.asarray(u_b), jnp.asarray(dt_b), jnp.asarray(bc),
+                jnp.asarray(A[gi]), jnp.asarray(D[gi]), jnp.asarray(bias[gi]),
+                reverse=bool(gi % 2), lc=32,
+            ))
+            np.testing.assert_allclose(
+                got[:, :, gi * dp:(gi + 1) * dp], want, rtol=2e-4, atol=2e-4)
