@@ -370,7 +370,9 @@ def ssm_scan_grouped(
         scratch_shapes=[pltpu.VMEM((_BT, n * dp), jnp.float32),
                         pltpu.VMEM((lc, _BT, dp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # state carries only along the L axis (reset at lblk == 0), so the
+            # group/batch dims are free to pipeline
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(u_g, slab_g, dtw_g, a_exp, Dv, bias)
 
