@@ -83,11 +83,37 @@ class LandmarkEstimator:
         return lm.astype(np.float32)
 
 
+class YoloFaceLandmarks:
+    """5-point landmarks straight from the YOLOv5-face detect head
+    (``models/yoloface.py`` regresses them next to each box — the same
+    source the reference's aligner ultimately keys off,
+    ``src/utils/face_align/yoloface.py``). Preferred over the cascade
+    estimator whenever converted weights are supplied."""
+
+    def __init__(self, detector):
+        self.detector = detector  # models.yoloface.YoloFaceDetector
+
+    def __call__(self, image: np.ndarray, face_box: Box) -> np.ndarray:
+        bboxes, kpss, scores = self.detector.detect(image[..., ::-1])
+        if len(bboxes) == 0:
+            raise RuntimeError("no face")
+        # pick the detection that overlaps the requested box most
+        x1, y1, x2, y2 = face_box
+        bx1, by1 = bboxes[:, 0], bboxes[:, 1]
+        bx2, by2 = bx1 + bboxes[:, 2], by1 + bboxes[:, 3]
+        iw = np.maximum(0, np.minimum(bx2, x2) - np.maximum(bx1, x1))
+        ih = np.maximum(0, np.minimum(by2, y2) - np.maximum(by1, y1))
+        return kpss[int(np.argmax(iw * ih * scores))].astype(np.float32)
+
+
 def estimate_landmarks(image: np.ndarray, face_box: Optional[Box] = None,
-                       estimator: Optional[LandmarkEstimator] = None
-                       ) -> np.ndarray:
+                       estimator=None) -> np.ndarray:
     """Convenience entry: detect the face if no box given, then estimate.
-    Always returns a (5, 2) array (face-box geometry prior as fallback)."""
+
+    ``estimator`` may be a ``YoloFaceLandmarks`` (preferred when converted
+    yolov5-face weights exist), a ``LandmarkEstimator`` (cascade parts), or
+    any ``(image, box) -> (5, 2)`` callable. Always returns a (5, 2) array
+    (face-box geometry prior as fallback)."""
     from actalker_tpu.frontend.enhance import box_to_landmarks
     from actalker_tpu.frontend.face import detect_face
 

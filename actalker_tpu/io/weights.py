@@ -634,3 +634,46 @@ def convert_bfr(sd: Mapping[str, np.ndarray]) -> Dict:
         torgb(f"to_rgb_{j + 3}", f"generator.to_rgbs.{j}")
         j += 1
     return {"params": dst}
+
+
+def convert_senet50(weights: Mapping[str, np.ndarray],
+                    layers=(3, 4, 6, 3)) -> Dict:
+    """VGGFace2 SENet-50 -> ``models/senet.SENet50`` params.
+
+    Accepts the Caffe-converted weight dict the reference loads at
+    ``eval/evaluation_faceid.py:33-55`` (pickled numpy arrays keyed by the
+    torch module names of the standard VGGFace2-pytorch ``senet.py``:
+    ``conv1.*``, ``layer{i}.{j}.conv{k}/bn{k}``, ``se_module.fc1/fc2``,
+    ``downsample.0/1``, ``fc``), or an equivalent torch state dict.
+    """
+    sd = {k: np.asarray(v) for k, v in weights.items()}
+    dst: Dict = {}
+
+    def bn(prefix, src):
+        set_in(dst, f"{prefix}/scale", sd[f"{src}.weight"])
+        set_in(dst, f"{prefix}/bias", sd[f"{src}.bias"])
+        set_in(dst, f"{prefix}/mean", sd[f"{src}.running_mean"])
+        set_in(dst, f"{prefix}/var", sd[f"{src}.running_var"])
+
+    set_in(dst, "conv1/kernel", t_conv2d(sd["conv1.weight"]))
+    bn("bn1", "bn1")
+    for i, blocks in enumerate(layers):
+        for j in range(blocks):
+            s = f"layer{i + 1}.{j}"
+            p = f"layer{i + 1}_{j}"
+            for k in (1, 2, 3):
+                set_in(dst, f"{p}/conv{k}/kernel",
+                       t_conv2d(sd[f"{s}.conv{k}.weight"]))
+                bn(f"{p}/bn{k}", f"{s}.bn{k}")
+            for fc in ("fc1", "fc2"):
+                set_in(dst, f"{p}/se_{fc}/kernel",
+                       t_conv2d(sd[f"{s}.se_module.{fc}.weight"]))
+                set_in(dst, f"{p}/se_{fc}/bias",
+                       sd[f"{s}.se_module.{fc}.bias"].reshape(-1))
+            if f"{s}.downsample.0.weight" in sd:
+                set_in(dst, f"{p}/downsample_conv/kernel",
+                       t_conv2d(sd[f"{s}.downsample.0.weight"]))
+                bn(f"{p}/downsample_bn", f"{s}.downsample.1")
+    if "fc.weight" in sd:
+        _linear(dst, "fc", sd, "fc")
+    return {"params": dst}

@@ -220,3 +220,29 @@ def test_motion_score_orders_by_motion():
     assert get_motion_score(clip(0)[:1]) == 0      # single frame
     assert 0 <= slow < fast <= 255
     assert magnitude_to_bucket(10.0) == 255 and magnitude_to_bucket(-1) == 0
+
+
+def test_yoloface_landmarks_picks_best_overlap():
+    from actalker_tpu.frontend.landmarks import YoloFaceLandmarks
+
+    class FakeDet:
+        def detect(self, image_bgr):
+            bboxes = np.array([[0, 0, 10, 10], [40, 40, 30, 30]], np.float64)
+            kpss = np.stack([np.full((5, 2), 5.0), np.full((5, 2), 55.0)])
+            return bboxes, kpss, np.array([0.9, 0.8])
+
+    lmk = YoloFaceLandmarks(FakeDet())
+    img = np.zeros((100, 100, 3), np.uint8)
+    out = lmk(img, (38.0, 38.0, 75.0, 75.0))
+    assert out.shape == (5, 2)
+    np.testing.assert_allclose(out, 55.0)
+
+
+def test_estimate_landmarks_with_custom_estimator():
+    from actalker_tpu.frontend.landmarks import estimate_landmarks
+
+    sentinel = np.arange(10, dtype=np.float32).reshape(5, 2)
+    out = estimate_landmarks(np.zeros((64, 64, 3), np.uint8),
+                             face_box=(0, 0, 64, 64),
+                             estimator=lambda img, box: sentinel)
+    np.testing.assert_array_equal(out, sentinel)
