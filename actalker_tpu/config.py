@@ -85,6 +85,11 @@ class InferenceConfig:
             raw["whisper_model"] = model_paths["whisper_model"]
         if "ablate" in raw:
             raw["ablate"] = tuple(raw["ablate"] or ())
+        elif "unet_cls" in raw:
+            # the reference selects ablation UNet *files* by dotted path
+            # (``config/inference.yaml:62``, imported at ``Inference.py:54``);
+            # here the _wo_* lineage is config, so map the path to ablate.
+            raw["ablate"] = unet_cls_to_ablate(str(raw["unet_cls"]))
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in raw.items() if k in fields}
         extras = {k: v for k, v in raw.items() if k not in fields}
@@ -112,3 +117,50 @@ class InferenceConfig:
 
 
 MODE_GATES = {0: (1, 0), 1: (0, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def unet_cls_to_ablate(unet_cls: str) -> Tuple[str, ...]:
+    """Map the reference's dotted UNet-variant path to our ablate tuple.
+
+    The reference ships one UNet *file* per ablation
+    (``src/models/base/unet_spatio_temporal_condition*_wo_*.py``, selected by
+    ``unet_cls`` at ``Inference.py:54-55``); this framework expresses the
+    lineage as config switches, so accepting the reference's paths keeps its
+    YAMLs loadable verbatim."""
+    ablate = []
+    for key in ("audio", "id", "ssd", "cross_attn", "vasa"):
+        if f"_wo_{key}" in unet_cls:
+            ablate.append(key)
+    return tuple(ablate)
+
+
+def import_filename(path: str):
+    """Import a python file as a module (the reference accepts importable
+    ``.py`` configs next to YAML — ``src/utils/util.py:27-32``, used at
+    ``Inference.py:607-612``)."""
+    import importlib.util
+    import os
+    import sys
+
+    name = os.path.splitext(os.path.basename(path))[0]
+    spec = importlib.util.spec_from_file_location(name, path)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+def get_obj_from_str(target: str):
+    """Resolve a dotted ``module.Class`` path (``utils/pkg.py:5-8``)."""
+    import importlib
+
+    module, cls = target.rsplit(".", 1)
+    return getattr(importlib.import_module(module), cls)
+
+
+def instantiate_from_config(spec: Dict[str, Any]):
+    """``{"target": "module.Class", "params": {...}} -> instance``
+    (``utils/pkg.py:10-17``)."""
+    if "target" not in spec:
+        raise KeyError("Expected key `target` to instantiate.")
+    return get_obj_from_str(spec["target"])(**spec.get("params", {}))

@@ -437,3 +437,28 @@ def test_gpen_generator_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(got),
                                ref.permute(0, 2, 3, 1).numpy(),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_unet_cls_mapping_and_instantiate(tmp_path):
+    from actalker_tpu.config import (
+        InferenceConfig, import_filename, instantiate_from_config,
+        unet_cls_to_ablate,
+    )
+
+    assert unet_cls_to_ablate(
+        "src.models.base.unet_spatio_temporal_condition_mambaID_v10_two_ip"
+        ".UNetSpatioTemporalConditionModel") == ()
+    assert unet_cls_to_ablate("...v10_wo_audio.UNet") == ("audio",)
+    assert unet_cls_to_ablate("...v10_wo_cross_attn.UNet") == ("cross_attn",)
+    cfg = InferenceConfig.from_dict(
+        {"unet_cls": "x.unet_spatio_temporal_condition_mambaID_v4_wo_ssd.U"})
+    assert cfg.ablate == ("ssd",)
+
+    spec = {"target": "collections.OrderedDict", "params": {"a": 1}}
+    inst = instantiate_from_config(spec)
+    assert inst["a"] == 1
+
+    py = tmp_path / "conf.py"
+    py.write_text("value = 41 + 1\n")
+    mod = import_filename(str(py))
+    assert mod.value == 42
