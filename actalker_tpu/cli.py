@@ -137,14 +137,36 @@ def postprocess_frames(cfg, frames01, face_box):
     return frames01
 
 
+def load_config(path: str):
+    """YAML or importable ``.py`` config (the reference accepts both —
+    ``Inference.py:607-612``: a ``.py`` config exposes ``cfg``)."""
+    from actalker_tpu.config import InferenceConfig, import_filename
+
+    if path.endswith(".py"):
+        raw = import_filename(path).cfg
+        if not isinstance(raw, dict):
+            raw = dict(raw)
+        return InferenceConfig.from_dict(raw)
+    return InferenceConfig.from_yaml(path)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", type=str, required=True)
-    parser.add_argument("--ref", type=str, required=True)
-    parser.add_argument("--audio", type=str, required=True)
+    parser.add_argument("--config", type=str, required=True,
+                        help="YAML or .py config (reference surface)")
+    parser.add_argument("--ref", type=str, required=True,
+                        help="reference image; with --batch, a comma-"
+                             "separated list")
+    parser.add_argument("--audio", type=str, required=True,
+                        help="driving audio; with --batch, one file or a "
+                             "comma-separated list matching --ref")
     parser.add_argument("--video", type=str, default=None)
     parser.add_argument("--mode", type=int, default=0,
                         help="0: audio, 1: vasa, 2: both")
+    parser.add_argument("--batch", action="store_true",
+                        help="process multiple refs, reusing loaded models "
+                             "(the reference declares this flag but never "
+                             "implements it)")
     parser.add_argument("--random-weights", action="store_true")
     parser.add_argument("--frame-limit", type=int, default=None)
     args = parser.parse_args(argv)
@@ -152,12 +174,12 @@ def main(argv=None):
     import numpy as np
     import jax.numpy as jnp
 
-    from actalker_tpu.config import InferenceConfig, MODE_GATES
+    from actalker_tpu.config import MODE_GATES
     from actalker_tpu.frontend import audio as A
     from actalker_tpu.frontend import preprocess as P
     from actalker_tpu.frontend import video as V
 
-    cfg = InferenceConfig.from_yaml(args.config)
+    cfg = load_config(args.config)
     gate = MODE_GATES[args.mode]
     t0 = time.time()
 
@@ -165,6 +187,34 @@ def main(argv=None):
 
     from actalker_tpu.frontend.face import detect_face
 
+    if args.batch:
+        refs = [r for r in args.ref.split(",") if r]
+        audios = [a for a in args.audio.split(",") if a]
+        if len(audios) == 1:
+            audios = audios * len(refs)
+        assert len(audios) == len(refs), "--batch: len(audio) != len(ref)"
+        pipes = {}
+        for ref_path, audio_path in zip(refs, audios):
+            run_args = argparse.Namespace(**{**vars(args), "ref": ref_path,
+                                             "audio": audio_path,
+                                             "batch": False})
+            _run_single(cfg, run_args, gate, pipes, interactive=False)
+        return
+
+    _run_single(cfg, args, gate, {}, interactive=True, t0=t0)
+
+
+def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from actalker_tpu.frontend import audio as A
+    from actalker_tpu.frontend import preprocess as P
+    from actalker_tpu.frontend import video as V
+    from actalker_tpu.frontend.face import detect_face
+
+    t0 = t0 or time.time()
     ref_rgb = np.asarray(Image.open(args.ref).convert("RGB"))
     bbox = detect_face(ref_rgb)
     if bbox is None:
@@ -181,8 +231,12 @@ def main(argv=None):
     limit = args.frame_limit or cfg.frame_num
     num_frames = min(limit, audio_len) // cfg.step
 
-    pipe = build_pipeline(cfg, args.mode, args.random_weights,
-                          latent_hw=(h // 8, w // 8), image_hw=(h, w))
+    key = (args.mode, h, w)
+    pipe = pipe_cache.get(key)
+    if pipe is None:
+        pipe = build_pipeline(cfg, args.mode, args.random_weights,
+                              latent_hw=(h // 8, w // 8), image_hw=(h, w))
+        pipe_cache[key] = pipe
 
     # whisper windows -> per-frame tokens
     feats = []
@@ -245,6 +299,9 @@ def main(argv=None):
     print(f"wrote {out_audio} ({num_frames} frames) in "
           f"{time.time() - t0:.1f}s")
 
+    if not interactive:
+        return
+
     # Interactive re-run loop: read a new YAML and regenerate without
     # reloading the heavy models (reference ``Inference.py:379-400``).
     while True:
@@ -260,7 +317,7 @@ def main(argv=None):
         if not os.path.exists(new_cfg_path):
             print(f"config {new_cfg_path} not found")
             continue
-        new_cfg = InferenceConfig.from_yaml(new_cfg_path)
+        new_cfg = load_config(new_cfg_path)
         scfg = new_cfg.sampler_config(gate)
         t0 = time.time()
         latents = pipe.generate_latents(
