@@ -136,6 +136,45 @@ def _pick_lc(lc, l, dp, np_, itemsize):
     return max(u, picked - (picked % u))
 
 
+def _arranged_xla(u_a, dt_a, bc_a, A, D, bias, reverse):
+    """Differentiable pure-XLA twin of the arranged kernel (same function;
+    drives the backward pass — the Pallas kernel has no autodiff rule)."""
+    from actalker_tpu.ops.selective_scan import selective_scan
+
+    lp, bp, dp = u_a.shape
+    d, n = A.shape
+    u = jnp.moveaxis(u_a[:, :, :d], 0, 1)
+    dt = jnp.moveaxis(dt_a[:, :, :d], 0, 1)
+    bc = jnp.moveaxis(bc_a, 0, 1)
+    flip = (lambda t: jnp.flip(t, axis=1)) if reverse else (lambda t: t)
+    y = selective_scan(
+        flip(u), flip(dt), A, flip(bc[:, :, :n])[:, :, None],
+        flip(bc[:, :, n:2 * n])[:, :, None], D, bias, impl="blocked")
+    y = jnp.moveaxis(flip(y), 0, 1).astype(u_a.dtype)
+    if dp != d:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, dp - d)))
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _arranged(u_a, dt_a, bc_a, A, D, bias, reverse, lc):
+    return _arranged_pallas(u_a, dt_a, bc_a, A, D, bias, reverse, lc)
+
+
+def _arranged_fwd(u_a, dt_a, bc_a, A, D, bias, reverse, lc):
+    out = _arranged_pallas(u_a, dt_a, bc_a, A, D, bias, reverse, lc)
+    return out, (u_a, dt_a, bc_a, A, D, bias)
+
+
+def _arranged_bwd(reverse, lc, res, g):
+    _, vjp = jax.vjp(
+        lambda *p: _arranged_xla(*p, reverse=reverse), *res)
+    return vjp(g)
+
+
+_arranged.defvjp(_arranged_fwd, _arranged_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("reverse", "lc", "orig_l"))
 def ssm_scan_arranged(
     u_a: jax.Array,        # (Lp, Bp, Dp) — pre-arranged, padded
@@ -150,12 +189,24 @@ def ssm_scan_arranged(
 ) -> jax.Array:
     """Low-level entry on pre-arranged (L-major) buffers; returns
     (Lp, Bp, Dp) in u's dtype. Lets callers amortize the layout transposes
-    across the forward+reverse directions and multiple units."""
+    across the forward+reverse directions and multiple units. Forward runs
+    the Pallas kernel; gradients flow through a pure-XLA twin (custom_vjp)."""
+    d = A.shape[0]
+    if D is None:
+        D = jnp.zeros((d,), jnp.float32)
+    if delta_bias is None:
+        delta_bias = jnp.zeros((d,), jnp.float32)
+    lc = _pick_lc(lc, u_a.shape[0], u_a.shape[2], bc_a.shape[-1],
+                  u_a.dtype.itemsize)
+    return _arranged(u_a, dt_a, bc_a, A, D, delta_bias, reverse, lc)
+
+
+def _arranged_pallas(u_a, dt_a, bc_a, A, D, bias, reverse, lc):
     lp, bp, dp = u_a.shape
     d = A.shape[0]
     n = A.shape[-1]
     np_ = bc_a.shape[-1]
-    lc = _pick_lc(lc, lp, dp, np_, u_a.dtype.itemsize)
+    delta_bias = bias
     assert lp % lc == 0, (lp, lc)
 
     a_exp = jnp.pad(jnp.transpose(A.astype(jnp.float32)), ((0, 0), (0, dp - d)))
@@ -300,6 +351,53 @@ def _ssm_kernel_grouped(u_ref, slab_ref, dtw_ref, A_ref, Dskip_ref,
 MASK_LANE = 126  # slab lane carrying the inactivity flag (see kernel docs)
 
 
+def _grouped_xla(u_g, slab_g, dtw_g, A_g, D_g, bias_g, rank):
+    """Differentiable pure-XLA twin of the grouped kernel (drives backward).
+
+    Reproduces the kernel's semantics exactly: per group, delta = full
+    128-lane slab @ dtw (the -1e9 mask-lane row rides the same matmul),
+    bias + softplus inside the scan, B/C at lanes [rank, rank+2n)."""
+    from actalker_tpu.ops.selective_scan import selective_scan
+
+    lp, bp, _ = u_g.shape
+    g = dtw_g.shape[0]
+    dp = u_g.shape[2] // (g // 2)
+    n = A_g.shape[-1]
+    outs = []
+    for gi in range(g):
+        branch = gi // 2
+        u = jnp.moveaxis(u_g[:, :, branch * dp:(branch + 1) * dp], 0, 1)
+        slab = jnp.moveaxis(
+            slab_g[:, :, gi * 128:(gi + 1) * 128], 0, 1).astype(jnp.float32)
+        dt = jnp.einsum("blc,cd->bld", slab, dtw_g[gi])
+        Bm = slab[:, :, rank:rank + n][:, :, None]
+        Cm = slab[:, :, rank + n:rank + 2 * n][:, :, None]
+        flip = ((lambda t: jnp.flip(t, axis=1)) if gi % 2 == 1
+                else (lambda t: t))
+        y = selective_scan(flip(u), flip(dt), A_g[gi], flip(Bm), flip(Cm),
+                           D_g[gi], bias_g[gi], impl="blocked")
+        outs.append(jnp.moveaxis(flip(y), 0, 1).astype(u_g.dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _grouped(u_g, slab_g, dtw_g, A_g, D_g, bias_g, rank, lc):
+    return _grouped_pallas(u_g, slab_g, dtw_g, A_g, D_g, bias_g, rank, lc)
+
+
+def _grouped_fwd(u_g, slab_g, dtw_g, A_g, D_g, bias_g, rank, lc):
+    out = _grouped_pallas(u_g, slab_g, dtw_g, A_g, D_g, bias_g, rank, lc)
+    return out, (u_g, slab_g, dtw_g, A_g, D_g, bias_g)
+
+
+def _grouped_bwd(rank, lc, res, g):
+    _, vjp = jax.vjp(lambda *p: _grouped_xla(*p, rank=rank), *res)
+    return vjp(g)
+
+
+_grouped.defvjp(_grouped_fwd, _grouped_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("rank", "lc"))
 def ssm_scan_grouped(
     u_g: jax.Array,        # (Lp, Bp, G//2 * Dp) — per-branch in_proj slabs
@@ -318,12 +416,18 @@ def ssm_scan_grouped(
     left-to-right for even g, right-to-left for odd g. Returns
     (Lp, Bp, G * Dp) with each group's output in its own minor slab (the
     caller sums direction pairs and applies the masked-select combine).
-    """
+    Forward runs the Pallas kernel; gradients flow through the pure-XLA twin
+    (custom_vjp)."""
+    lc = _pick_lc(lc, u_g.shape[0], u_g.shape[2] // (dtw_g.shape[0] // 2),
+                  128, u_g.dtype.itemsize)
+    return _grouped(u_g, slab_g, dtw_g, A_g, D_g, bias_g, rank, lc)
+
+
+def _grouped_pallas(u_g, slab_g, dtw_g, A_g, D_g, bias_g, rank, lc):
     lp, bp, cg = u_g.shape
     g = dtw_g.shape[0]
     dp = cg // (g // 2)
     n = A_g.shape[-1]
-    lc = _pick_lc(lc, lp, dp, 128, u_g.dtype.itemsize)
     assert lp % lc == 0 and bp % _BT == 0, (lp, lc, bp)
     assert slab_g.shape == (lp, bp, g * 128), slab_g.shape
     assert 2 * n + rank <= MASK_LANE, (n, rank)

@@ -198,3 +198,60 @@ class TestGrouped:
             ))
             np.testing.assert_allclose(
                 got[:, :, gi * dp:(gi + 1) * dp], want, rtol=2e-4, atol=2e-4)
+
+
+class TestPallasGrad:
+    """custom_vjp: Pallas forward, XLA-twin backward."""
+
+    def test_ssm_scan_grad_matches_blocked(self):
+        from actalker_tpu.ops.selective_scan_pallas import ssm_scan
+
+        rng = np.random.default_rng(5)
+        b, l, d, n = 2, 24, 8, 4
+        u = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+        delta = jnp.asarray(rng.standard_normal((b, l, d)) * 0.4, jnp.float32)
+        A = jnp.asarray(-np.exp(rng.standard_normal((d, n)) * 0.3), jnp.float32)
+        B = jnp.asarray(rng.standard_normal((b, l, n)) * 0.5, jnp.float32)
+        C = jnp.asarray(rng.standard_normal((b, l, n)) * 0.5, jnp.float32)
+        D = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((d,)) * 0.2, jnp.float32)
+
+        def loss_p(u_, delta_, A_, B_, C_):
+            return jnp.sum(ssm_scan(u_, delta_, A_, B_, C_, D, bias, lc=8) ** 2)
+
+        def loss_x(u_, delta_, A_, B_, C_):
+            y = selective_scan(u_, delta_, A_, B_[:, :, None], C_[:, :, None],
+                               D, bias, impl="blocked")
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_grouped_grad_flows_and_matches_xla(self):
+        from actalker_tpu.ops.selective_scan_pallas import (
+            _grouped_xla, ssm_scan_grouped,
+        )
+
+        t = TestGrouped()
+        (u_g, slab, dtw, tm, A, D, bias, dts, B, C,
+         rank, dp, n) = t._build(lp=64, bp=8, dp=128, n=8, rank=8)
+        args = tuple(jnp.asarray(a) for a in (u_g, slab, dtw, A, D, bias))
+
+        def loss_p(u_, slab_, dtw_, A_, D_, bias_):
+            y = ssm_scan_grouped(u_, slab_, dtw_, A_, D_, bias_,
+                                 rank=rank, lc=32)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        def loss_x(u_, slab_, dtw_, A_, D_, bias_):
+            y = _grouped_xla(u_, slab_, dtw_, A_, D_, bias_, rank=rank)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        gp = jax.grad(loss_p, argnums=tuple(range(6)))(*args)
+        gx = jax.grad(loss_x, argnums=tuple(range(6)))(*args)
+        for a, b_ in zip(gp, gx):
+            assert np.all(np.isfinite(np.asarray(a)))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=5e-3, atol=5e-3)
