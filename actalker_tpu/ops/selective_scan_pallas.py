@@ -136,6 +136,292 @@ def _pick_lc(lc, l, dp, np_, itemsize):
     return max(u, picked - (picked % u))
 
 
+def _boundary_kernel(u_ref, dt_ref, A_ref, BC_ref, bias_ref, bnd_ref, h_scr,
+                     *, lc: int, n_state: int, dp: int, reverse: bool,
+                     unroll: int):
+    """Forward replay that records the state ENTERING each L-chunk.
+
+    Same walk as ``_ssm_kernel`` minus the y output; ``bnd_ref`` gets the
+    (8, N*Dp) hidden state before the chunk's first token (zeros for the
+    first chunk). The backward kernel re-runs each chunk forward from these
+    checkpoints, so the O(L) state history never hits HBM in fp32 — only
+    O(L / lc) boundary rows do.
+    """
+    lblk = pl.program_id(1)
+
+    @pl.when(lblk == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    bnd_ref[0] = h_scr[:]
+
+    bias = bias_ref[:].astype(jnp.float32)
+    a_segs = [A_ref[:, n * dp:(n + 1) * dp] for n in range(n_state)]
+    h0 = tuple(h_scr[:, n * dp:(n + 1) * dp] for n in range(n_state))
+
+    def one_token(i, h):
+        u_t = u_ref[pl.ds(i, 1)][0].astype(jnp.float32)
+        dt_t = jax.nn.softplus(
+            dt_ref[pl.ds(i, 1)][0].astype(jnp.float32) + bias)
+        dtu = dt_t * u_t
+        bc_t = BC_ref[pl.ds(i, 1)][0].astype(jnp.float32)
+        hs = []
+        for n in range(n_state):
+            da = jnp.exp(dt_t * a_segs[n])
+            hs.append(da * h[n] + bc_t[:, n:n + 1] * dtu)
+        return tuple(hs)
+
+    def step(ti, h):
+        t = ti * unroll
+        for j in range(unroll):
+            h = one_token(lc - 1 - t - j if reverse else t + j, h)
+        return h
+
+    h = jax.lax.fori_loop(0, lc // unroll, step, h0)
+    for n in range(n_state):
+        h_scr[:, n * dp:(n + 1) * dp] = h[n]
+
+
+def _bwd_kernel(u_ref, dt_ref, A_ref, BC_ref, Dskip_ref, bias_ref, bnd_ref,
+                dy_ref, du_ref, ddt_ref, dbc_ref, dA_ref, dD_ref,
+                g_scr, hist_scr, *, lc: int, n_state: int, dp: int,
+                reverse: bool):
+    """Adjoint of the arranged scan, one (batch-group, L-chunk) grid step;
+    the L grid axis walks chunks in REVERSE scan order.
+
+    Recurrence (per channel d, state n; a = exp(delta*A), p = delta*u):
+        h_t = a_t h_{t-1} + B_t p_t ;  y_t = sum_n C_n h_n + D u_t
+    Adjoint g_t = dL/dh_t satisfies the reverse recurrence
+        g_t = dy_t C_t + a_{t+1} g_{t+1}
+    and the input gradients are
+        dC_t  = sum_d dy_t h_t            dB_t   = sum_d g_t p_t
+        du_t  = delta_t sum_n g_n B_n + D dy_t
+        ddelta_t = (u_t sum_n g_n B_n + sum_n g_n A_n a_n h_{t-1,n})
+                   * sigmoid(dtr_t + bias)          [softplus chain]
+        dA_n += sum_t g_n h_{t-1,n} delta_t a_n      dD += sum_t dy_t u_t
+
+    Each chunk is recomputed forward from its boundary checkpoint into a
+    VMEM history (``hist_scr``), then walked backwards accumulating g.
+    ``dA/dD`` accumulate into per-batch-group rows (reduced by the caller).
+    """
+    gi = pl.program_id(0)
+    lblk = pl.program_id(1)
+
+    @pl.when(lblk == 0)
+    def _():
+        g_scr[:] = jnp.zeros_like(g_scr)
+        dA_ref[0] = jnp.zeros_like(dA_ref[0])
+        dD_ref[0] = jnp.zeros_like(dD_ref[0])
+
+    del gi
+    bias = bias_ref[:].astype(jnp.float32)
+    dskip = Dskip_ref[:].astype(jnp.float32)
+    a_segs = [A_ref[:, n * dp:(n + 1) * dp] for n in range(n_state)]
+
+    # ---- forward recompute of this chunk into hist (state AFTER token i) --
+    h0 = tuple(bnd_ref[0, :, n * dp:(n + 1) * dp] for n in range(n_state))
+
+    def fwd_token(i, h):
+        u_t = u_ref[pl.ds(i, 1)][0].astype(jnp.float32)
+        dt_t = jax.nn.softplus(
+            dt_ref[pl.ds(i, 1)][0].astype(jnp.float32) + bias)
+        dtu = dt_t * u_t
+        bc_t = BC_ref[pl.ds(i, 1)][0].astype(jnp.float32)
+        hs = []
+        for n in range(n_state):
+            da = jnp.exp(dt_t * a_segs[n])
+            hn = da * h[n] + bc_t[:, n:n + 1] * dtu
+            hist_scr[pl.ds(i, 1), :, n * dp:(n + 1) * dp] = hn[None]
+            hs.append(hn)
+        return tuple(hs)
+
+    def fwd_step(ti, h):
+        return fwd_token(lc - 1 - ti if reverse else ti, h)
+
+    jax.lax.fori_loop(0, lc, fwd_step, h0)
+
+    # ---- backward walk (reverse scan order within the chunk) -------------
+    g0 = tuple(g_scr[:, n * dp:(n + 1) * dp] for n in range(n_state))
+
+    def bwd_token(i, iprev, first_in_scan, g):
+        u_t = u_ref[pl.ds(i, 1)][0].astype(jnp.float32)
+        dtr_t = dt_ref[pl.ds(i, 1)][0].astype(jnp.float32) + bias
+        dt_t = jax.nn.softplus(dtr_t)
+        sig_t = jax.nn.sigmoid(dtr_t)
+        bc_t = BC_ref[pl.ds(i, 1)][0].astype(jnp.float32)
+        dy_t = dy_ref[pl.ds(i, 1)][0].astype(jnp.float32)
+        # h_{t-1}: previous token's hist row, or the chunk boundary state
+        gBsum = jnp.zeros_like(u_t)
+        gAah = jnp.zeros_like(u_t)
+        dB_cols, dC_cols, dA_segs = [], [], []
+        for n in range(n_state):
+            h_t = hist_scr[pl.ds(i, 1), :, n * dp:(n + 1) * dp][0]
+            hm1 = jnp.where(
+                first_in_scan,
+                bnd_ref[0, :, n * dp:(n + 1) * dp],
+                hist_scr[pl.ds(iprev, 1), :, n * dp:(n + 1) * dp][0])
+            g_n = g[n] + dy_t * bc_t[:, n_state + n:n_state + n + 1]
+            da = jnp.exp(dt_t * a_segs[n])
+            gBsum = gBsum + g_n * bc_t[:, n:n + 1]
+            gAah = gAah + g_n * a_segs[n] * da * hm1
+            dC_cols.append(jnp.sum(dy_t * h_t, axis=1, keepdims=True))
+            dB_cols.append(jnp.sum(g_n * dt_t * u_t, axis=1, keepdims=True))
+            dA_segs.append(
+                jnp.sum(g_n * hm1 * dt_t * da, axis=0, keepdims=True))
+            g = g[:n] + (g_n * da,) + g[n + 1:]
+        dA_ref[0] = dA_ref[0] + jnp.concatenate(dA_segs, axis=1)
+        dD_ref[0] = dD_ref[0] + jnp.sum(dy_t * u_t, axis=0, keepdims=True)
+        du_ref[pl.ds(i, 1)] = (dt_t * gBsum + dskip * dy_t)[None].astype(
+            du_ref.dtype)
+        ddt_ref[pl.ds(i, 1)] = ((u_t * gBsum + gAah) * sig_t)[None].astype(
+            ddt_ref.dtype)
+        row = jnp.concatenate(
+            dB_cols + dC_cols
+            + [jnp.zeros((8, BC_ref.shape[-1] - 2 * n_state), jnp.float32)],
+            axis=1)
+        dbc_ref[pl.ds(i, 1)] = row[None].astype(dbc_ref.dtype)
+        return g
+
+    def bwd_step(ti, g):
+        # walk tokens opposite to scan order within the chunk; the last
+        # walked token (ti == lc-1) is the chunk's scan-first token, whose
+        # h_{t-1} is the boundary checkpoint.
+        if reverse:
+            i, iprev = ti, jnp.minimum(ti + 1, lc - 1)
+        else:
+            i, iprev = lc - 1 - ti, jnp.maximum(lc - 2 - ti, 0)
+        return bwd_token(i, iprev, ti == lc - 1, g)
+
+    g = jax.lax.fori_loop(0, lc, bwd_step, g0, unroll=False)
+    for n in range(n_state):
+        g_scr[:, n * dp:(n + 1) * dp] = g[n]
+
+
+def _pick_lc_bwd(lp: int, dp: int, n: int) -> int:
+    """Backward chunk size: the fp32 state history (lc, 8, N*Dp) must fit
+    the kernel's scoped-VMEM budget (16 MB default; we raise it via
+    CompilerParams but keep the history near 12 MB). Power of two so it
+    divides the forward's lp paddings; lp is re-padded by the caller."""
+    budget = 12 * 2**20
+    cap = budget // (8 * n * dp * 4)
+    lc = 8
+    while lc * 2 <= min(64, cap):
+        lc *= 2
+    return lc
+
+
+def _arranged_grad_tpu(u_a, dt_a, bc_a, A, D, bias, dy, reverse):
+    """(du, ddt, dbc, dA, dD, dbias) via the boundary + adjoint kernels."""
+    lp0, bp, dp = u_a.shape
+    d, n = A.shape
+    np_ = bc_a.shape[-1]
+    lc = _pick_lc_bwd(lp0, dp, n)
+    lp = _round_up(lp0, lc)
+    if dp != d:
+        # pad-channel cotangents are zero in real use (the caller crops the
+        # output to d channels); enforce it so the pad channels' undecayed
+        # (A = 0 => a = 1) adjoint never leaks into the cross-channel
+        # reductions (dB, dC).
+        dy = jnp.concatenate(
+            [dy[:, :, :d], jnp.zeros_like(dy[:, :, d:])], axis=-1)
+    if lp != lp0:
+        # transparent pad rows: delta -> -1e9 (identity steps), zero dy
+        pad = ((0, lp - lp0), (0, 0), (0, 0))
+        u_a = jnp.pad(u_a, pad)
+        dt_a = jnp.pad(dt_a, pad, constant_values=-1e9)
+        bc_a = jnp.pad(bc_a, pad)
+        dy = jnp.pad(dy, pad)
+
+    a_exp = jnp.pad(jnp.transpose(A.astype(jnp.float32)),
+                    ((0, 0), (0, dp - d))).reshape(1, n * dp)
+    Dv = jnp.pad(D.astype(jnp.float32), (0, dp - d)).reshape(1, dp)
+    bias_p = jnp.pad(bias.astype(jnp.float32), (0, dp - d)).reshape(1, dp)
+
+    nl = lp // lc
+    ng = bp // _BT
+    if reverse:
+        lmap = lambda gi, li: (nl - 1 - li, gi, 0)  # noqa: E731
+    else:
+        lmap = lambda gi, li: (li, gi, 0)  # noqa: E731
+    # backward grid walks chunks in reverse scan order
+    if reverse:
+        blmap = lambda gi, li: (li, gi, 0)  # noqa: E731
+    else:
+        blmap = lambda gi, li: (nl - 1 - li, gi, 0)  # noqa: E731
+    bndmap_f = lambda gi, li: (li, gi, 0)  # noqa: E731
+    bndmap_b = lambda gi, li: (nl - 1 - li, gi, 0)  # noqa: E731
+    cmap = lambda gi, li: (0, 0)  # noqa: E731
+    gmap = lambda gi, li: (gi, 0, 0)  # noqa: E731
+
+    interpret = jax.default_backend() != "tpu"
+    bnd = pl.pallas_call(
+        functools.partial(_boundary_kernel, lc=lc, n_state=n, dp=dp,
+                          reverse=reverse, unroll=1),
+        grid=(ng, nl),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((lc, _BT, dp), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc, _BT, dp), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n * dp), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc, _BT, np_), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dp), cmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BT, n * dp), bndmap_f,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nl, bp, n * dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BT, n * dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(u_a, dt_a, a_exp, bc_a, bias_p)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, lc=lc, n_state=n, dp=dp,
+                          reverse=reverse),
+        grid=(ng, nl),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((lc, _BT, dp), blmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc, _BT, dp), blmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n * dp), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc, _BT, np_), blmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dp), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dp), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BT, n * dp), bndmap_b,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc, _BT, dp), blmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((lc, _BT, dp), blmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc, _BT, dp), blmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc, _BT, np_), blmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n * dp), gmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dp), gmap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lp, bp, dp), u_a.dtype),
+            jax.ShapeDtypeStruct((lp, bp, dp), dt_a.dtype),
+            jax.ShapeDtypeStruct((lp, bp, np_), bc_a.dtype),
+            jax.ShapeDtypeStruct((ng, 1, n * dp), jnp.float32),
+            jax.ShapeDtypeStruct((ng, 1, dp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_BT, n * dp), jnp.float32),
+                        pltpu.VMEM((lc, _BT, n * dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+    )(u_a, dt_a, a_exp, bc_a, Dv, bias_p, bnd, dy)
+
+    du, ddt, dbc, dA_p, dD_p = outs
+    du, ddt, dbc = du[:lp0], ddt[:lp0], dbc[:lp0]
+    dA = jnp.sum(dA_p, axis=(0, 1)).reshape(n, dp)[:, :d].T
+    dD = jnp.sum(dD_p, axis=(0, 1))[:d]
+    dbias = jnp.sum(ddt[:, :, :d].astype(jnp.float32), axis=(0, 1))
+    return (du, ddt, dbc, dA.astype(A.dtype), dD.astype(D.dtype),
+            dbias.astype(bias.dtype))
+
+
 def _arranged_xla(u_a, dt_a, bc_a, A, D, bias, reverse):
     """Differentiable pure-XLA twin of the arranged kernel (same function;
     drives the backward pass — the Pallas kernel has no autodiff rule)."""
@@ -167,6 +453,8 @@ def _arranged_fwd(u_a, dt_a, bc_a, A, D, bias, reverse, lc):
 
 
 def _arranged_bwd(reverse, lc, res, g):
+    if jax.default_backend() == "tpu":
+        return _arranged_grad_tpu(*res, g, reverse)
     _, vjp = jax.vjp(
         lambda *p: _arranged_xla(*p, reverse=reverse), *res)
     return vjp(g)
@@ -390,9 +678,50 @@ def _grouped_fwd(u_g, slab_g, dtw_g, A_g, D_g, bias_g, rank, lc):
     return out, (u_g, slab_g, dtw_g, A_g, D_g, bias_g)
 
 
-def _grouped_bwd(rank, lc, res, g):
-    _, vjp = jax.vjp(lambda *p: _grouped_xla(*p, rank=rank), *res)
-    return vjp(g)
+def _grouped_bwd(rank, lc, res, gbar):
+    if jax.default_backend() != "tpu":
+        _, vjp = jax.vjp(lambda *p: _grouped_xla(*p, rank=rank), *res)
+        return vjp(gbar)
+    # Kernel path: per group, reconstruct the scan-level operands (raw delta
+    # = slab @ dtw, B/C lanes) and run the adjoint kernels; then push the
+    # delta cotangent back through the slab matmul in XLA.
+    u_g, slab_g, dtw_g, A_g, D_g, bias_g = res
+    g = dtw_g.shape[0]
+    dp = u_g.shape[2] // (g // 2)
+    n = A_g.shape[-1]
+    du_g = jnp.zeros_like(u_g)
+    dslab_g = jnp.zeros_like(slab_g)
+    ddtw, dA_o, dD_o, dbias_o = [], [], [], []
+    for gi in range(g):
+        branch = gi // 2
+        u = u_g[:, :, branch * dp:(branch + 1) * dp]
+        slab = slab_g[:, :, gi * 128:(gi + 1) * 128]
+        dtr = jnp.einsum("lbc,cd->lbd", slab.astype(jnp.float32), dtw_g[gi])
+        bc = jnp.pad(slab[:, :, rank:rank + 2 * n].astype(u.dtype),
+                     ((0, 0), (0, 0), (0, 128 - 2 * n)))
+        dy = gbar[:, :, gi * dp:(gi + 1) * dp]
+        du, ddt, dbc, dA, dD, dbias = _arranged_grad_tpu(
+            u, dtr, bc, A_g[gi], D_g[gi], bias_g[gi], dy,
+            reverse=bool(gi % 2))
+        du_g = du_g.at[:, :, branch * dp:(branch + 1) * dp].add(
+            du.astype(u_g.dtype))
+        ddt32 = ddt.astype(jnp.float32)
+        dslab = jnp.einsum("lbd,cd->lbc", ddt32, dtw_g[gi])
+        dbc32 = dbc[:, :, :2 * n].astype(jnp.float32)
+        dslab = dslab + jnp.concatenate(
+            [jnp.zeros_like(dslab[:, :, :rank]), dbc32,
+             jnp.zeros_like(dslab[:, :, rank + 2 * n:])], axis=-1)
+        dslab_g = dslab_g.at[:, :, gi * 128:(gi + 1) * 128].add(
+            dslab.astype(slab_g.dtype))
+        ddtw.append(jnp.einsum("lbc,lbd->cd", slab.astype(jnp.float32),
+                               ddt32))
+        dA_o.append(dA)
+        dD_o.append(dD)
+        dbias_o.append(dbias)
+    return (du_g, dslab_g, jnp.stack(ddtw).astype(dtw_g.dtype),
+            jnp.stack(dA_o).astype(A_g.dtype),
+            jnp.stack(dD_o).astype(D_g.dtype),
+            jnp.stack(dbias_o).astype(bias_g.dtype))
 
 
 _grouped.defvjp(_grouped_fwd, _grouped_bwd)

@@ -255,3 +255,32 @@ class TestPallasGrad:
             assert np.all(np.isfinite(np.asarray(a)))
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=5e-3, atol=5e-3)
+
+
+def test_arranged_grad_kernels_match_twin_interpret():
+    """The boundary+adjoint kernel pair (used for backward on TPU) against
+    the XLA twin's autodiff, in interpret mode, both scan directions."""
+    from actalker_tpu.ops import selective_scan_pallas as SP
+
+    rng = np.random.default_rng(0)
+    lp0, bp, dp, d, n = 72, 8, 128, 100, 4
+    u = jnp.asarray(rng.standard_normal((lp0, bp, dp)) * 0.3, jnp.float32)
+    dt = jnp.asarray(rng.standard_normal((lp0, bp, dp)) * 0.4, jnp.float32)
+    bc = jnp.asarray(np.pad(rng.standard_normal((lp0, bp, 2 * n)) * 0.5,
+                            ((0, 0), (0, 0), (0, 128 - 2 * n))), jnp.float32)
+    A = jnp.asarray(-np.exp(rng.standard_normal((d, n)) * 0.3), jnp.float32)
+    D = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((d,)) * 0.2, jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((lp0, bp, dp)) * 0.1, jnp.float32)
+    for reverse in (False, True):
+        got = SP._arranged_grad_tpu(u, dt, bc, A, D, bias, dy,
+                                    reverse=reverse)
+        _, vjp = jax.vjp(
+            lambda *p: SP._arranged_xla(*p, reverse=reverse),
+            u, dt, bc, A, D, bias)
+        want = vjp(dy)
+        for a, b_ in zip(got, want):
+            a = np.asarray(a)[..., :d] if a.ndim == 3 else np.asarray(a)
+            b_ = np.asarray(b_)[..., :d] if np.asarray(b_).ndim == 3 \
+                else np.asarray(b_)
+            np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-3)
