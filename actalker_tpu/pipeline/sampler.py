@@ -158,11 +158,19 @@ def sample_video(
     ref_latent: jax.Array,          # (h, w, 4) — scaled (x0.18215) VAE mean
     noise_key: jax.Array,
     dtype=jnp.bfloat16,
+    window_sharding=None,
 ) -> jax.Array:
     """Runs the full denoise loop; returns latents (buffer_len, h, w, 4) fp32.
 
     ``unet_apply(params, sample, t, cond, added_time_ids, spatial_condition)``
     must be the flagship UNet's apply function.
+
+    ``window_sharding``: optional ``NamedSharding`` over the window axis
+    (e.g. ``NamedSharding(mesh, P("dp"))``). Within one denoise step the
+    sliding windows are embarrassingly parallel (each reads only the
+    previous step's buffer — SURVEY §5), so constraining the window batch
+    partitions the UNet across chips; the only cross-chip exchange is the
+    all-reduce behind the overlap-average scatter.
     """
     fpb = cfg.frames_per_batch
     buf = plan.buffer_len
@@ -221,7 +229,13 @@ def sample_video(
                 batch_size=cfg.windows_per_call,
             )
         else:
+            if window_sharding is not None:
+                w_idx = jax.lax.with_sharding_constraint(
+                    w_idx, window_sharding)
             outs = jax.vmap(one)(w_idx)                          # (nw, fpb, h, w, 4)
+            if window_sharding is not None:
+                outs = jax.lax.with_sharding_constraint(
+                    outs, window_sharding)
 
         # scatter-average via one-hot segment sum (MXU-friendly)
         flat_idx = w_idx.reshape(-1)

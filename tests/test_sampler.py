@@ -172,3 +172,32 @@ def test_batched_serving_matches_per_clip():
     )
     np.testing.assert_allclose(np.asarray(out[2]), np.asarray(single),
                                rtol=1e-2, atol=5e-4)
+
+
+def test_window_sharding_matches_unsharded():
+    """Single-clip multi-chip: sharding the window axis over an 8-device
+    mesh must reproduce the unsharded loop (windows within one step are
+    independent; only the overlap-average all-reduces)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = S.SamplerConfig(
+        num_inference_steps=3, frames_per_batch=4, overlap=0, shift_offset=3,
+    )
+    num_frames, h, w = 28, 4, 4   # buffer 32 -> 8 windows
+    plan = S.make_plan(cfg, num_frames)
+    assert plan.window_idx.shape[1] % 8 == 0
+    buffers = build_buffers(plan.buffer_len, h, w)
+    ref_latent = jax.random.normal(jax.random.PRNGKey(0), (h, w, 4))
+    unet = fake_unet_factory(h, w)
+
+    base = S.sample_video(unet, None, cfg, plan, buffers, ref_latent,
+                          jax.random.PRNGKey(1), dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("dp",))
+    with jax.set_mesh(mesh):
+        sharded = S.sample_video(
+            unet, None, cfg, plan, buffers, ref_latent, jax.random.PRNGKey(1),
+            dtype=jnp.float32,
+            window_sharding=NamedSharding(mesh, P("dp")),
+        )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
