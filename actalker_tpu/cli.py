@@ -194,10 +194,12 @@ def main(argv=None):
             audios = audios * len(refs)
         assert len(audios) == len(refs), "--batch: len(audio) != len(ref)"
         pipes = {}
-        for ref_path, audio_path in zip(refs, audios):
+        for i, (ref_path, audio_path) in enumerate(zip(refs, audios)):
+            astem = os.path.splitext(os.path.basename(audio_path))[0]
             run_args = argparse.Namespace(**{**vars(args), "ref": ref_path,
                                              "audio": audio_path,
-                                             "batch": False})
+                                             "batch": False,
+                                             "out_tag": f"{astem}.{i}"})
             _run_single(cfg, run_args, gate, pipes, interactive=False)
         return
 
@@ -292,6 +294,8 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
     out_dir = os.path.join(cfg.output_dir, cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
     base = os.path.basename(args.ref)
+    if getattr(args, "out_tag", None):       # batch mode: unique per item
+        base = f"{base}.{args.out_tag}"
     out = os.path.join(out_dir, f"{base}.mp4")
     V.write_video(out, frames01, fps=cfg.fps)
     out_audio = os.path.join(out_dir, f"{base}_audio.mp4")

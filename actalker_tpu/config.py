@@ -142,7 +142,10 @@ def import_filename(path: str):
     import os
     import sys
 
-    name = os.path.splitext(os.path.basename(path))[0]
+    stem = os.path.splitext(os.path.basename(path))[0]
+    # unique module name: a config named yaml.py/json.py must not clobber
+    # the real module in sys.modules
+    name = f"_actalker_cfg_{stem}_{abs(hash(os.path.abspath(path))) & 0xffffff:x}"
     spec = importlib.util.spec_from_file_location(name, path)
     module = importlib.util.module_from_spec(spec)
     sys.modules[name] = module

@@ -18,22 +18,9 @@ from actalker_tpu.frontend import video as video_io
 
 
 def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Nearest/bilinear resize without cv2 (pure numpy, fine for review
-    sheets): bilinear sample grid onto (h, w)."""
-    ih, iw = img.shape[:2]
-    ys = (np.arange(h) + 0.5) * ih / h - 0.5
-    xs = (np.arange(w) + 0.5) * iw / w - 0.5
-    y0 = np.clip(np.floor(ys).astype(np.int64), 0, ih - 1)
-    x0 = np.clip(np.floor(xs).astype(np.int64), 0, iw - 1)
-    y1 = np.minimum(y0 + 1, ih - 1)
-    x1 = np.minimum(x0 + 1, iw - 1)
-    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
-    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
-    img = img.astype(np.float32)
-    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
-    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
-    out = top * (1 - wy) + bot * wy
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    from actalker_tpu.frontend.preprocess import resize_image
+
+    return resize_image(np.ascontiguousarray(img), (h, w))
 
 
 def concat_video_with_image(video_path: str, image: np.ndarray,

@@ -24,6 +24,8 @@ import numpy as np
 
 def _batched(fn, x: np.ndarray, batch: int):
     outs = [fn(x[i:i + batch]) for i in range(0, len(x), batch)]
+    if not outs:
+        raise ValueError("empty clip: no frames to evaluate")
     if isinstance(outs[0], dict):
         return {k: np.concatenate([np.asarray(o[k]) for o in outs])
                 for k in outs[0]}

@@ -41,8 +41,10 @@ def _flash_block_sizes(sq: int, sk: int):
     from jax.experimental.pallas.ops.tpu import flash_attention as FA
 
     # Swept on v5e at (56, 5, 4096, 64): 2048/1024 beats 1024/1024 by ~7%
-    # (23.6 vs 25.4 ms); larger blocks fail to compile (VMEM).
-    bq = min(2048, sq)
+    # (23.6 vs 25.4 ms); larger blocks fail to compile (VMEM). The backward
+    # pass requires block_q to DIVIDE the sequence length (forward pads), so
+    # fall back for lengths like 3072 that 2048 does not divide.
+    bq = 2048 if sq % 2048 == 0 else min(1024, sq)
     bk = min(1024, sk)
     return FA.BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,

@@ -223,7 +223,11 @@ def sample_video(
                 latents_all, idx, sigma, sigma_next, t_cont, g1, g2, g3
             )
 
-        if cfg.windows_per_call and cfg.windows_per_call < nw:
+        # window_sharding overrides windows_per_call: the lax.map chunking
+        # bounds memory on ONE chip, whereas sharding spreads the full
+        # window batch across chips (which is the memory bound already).
+        if (window_sharding is None and cfg.windows_per_call
+                and cfg.windows_per_call < nw):
             outs = jax.lax.map(
                 lambda idx: one(idx), w_idx,
                 batch_size=cfg.windows_per_call,

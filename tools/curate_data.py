@@ -104,14 +104,40 @@ def main(argv=None):
     detector = lambda img: detect_face(img)  # noqa: E731
     landmarker = None
     if args.yoloface:
-        from actalker_tpu.frontend.landmarks import YoloFaceLandmarks
         from actalker_tpu.models.yoloface import YoloFaceDetector
 
         raw = np.load(args.yoloface, allow_pickle=True)
         det = YoloFaceDetector(params=raw["params"].item()
                                if "params" in raw else dict(raw))
-        detector = det
-        landmarker = YoloFaceLandmarks(det)
+
+        # ONE network pass per frame: detect() returns boxes + landmarks
+        # together (frames are RGB; the detector wants BGR).
+        _cache = {}
+
+        def _detect_once(img_rgb):
+            key = id(img_rgb)
+            if key not in _cache:
+                _cache.clear()
+                _cache[key] = det.detect(img_rgb[..., ::-1])
+            return _cache[key]
+
+        def detector(img_rgb):  # noqa: F811
+            bboxes, _, scores = _detect_once(img_rgb)
+            if len(bboxes) == 0:
+                return None
+            x, y, w, h = bboxes[np.argmax(scores)]
+            return (float(x), float(y), float(x + w), float(y + h))
+
+        def landmarker(img_rgb, box):
+            bboxes, kpss, scores = _detect_once(img_rgb)
+            if len(bboxes) == 0:
+                raise RuntimeError("no face")
+            x1, y1, x2, y2 = box
+            bx1, by1 = bboxes[:, 0], bboxes[:, 1]
+            bx2, by2 = bx1 + bboxes[:, 2], by1 + bboxes[:, 3]
+            iw = np.maximum(0, np.minimum(bx2, x2) - np.maximum(bx1, x1))
+            ih = np.maximum(0, np.minimum(by2, y2) - np.maximum(by1, y1))
+            return kpss[int(np.argmax(iw * ih * scores))].astype(np.float32)
 
     clips, dropped = [], 0
     for path in args.videos:
