@@ -59,6 +59,10 @@ class UNetConfig:
     transformer_layers_per_block: int = 1
     use_mamba: bool = True
     scan_impl: str = "pallas"
+    # rematerialize each down/mid/up block in the backward pass (the
+    # reference trains with activation checkpointing,
+    # config/train.yaml gradient_checkpointing)
+    gradient_checkpointing: bool = False
     # Reference ablation lineage (_wo_audio/_wo_id/_wo_ssd/_wo_cross_attn
     # UNet file copies, SURVEY.md section 2) as config: any subset of
     # {"audio", "vasa", "id", "ssd", "cross_attn"}.
@@ -131,12 +135,28 @@ class UNetSpatioTemporalCondition(nn.Module):
         if spatial_condition is not None:
             h = h + spatial_condition
 
+        if cfg.gradient_checkpointing:
+            # one remat scope per UNet block: activations inside each block
+            # are recomputed during backward (reference parity:
+            # gradient_checkpointing in config/train.yaml's solver)
+            _CrossDown = nn.remat(CrossAttnDownBlockSpatioTemporal)
+            _Down = nn.remat(DownBlockSpatioTemporal)
+            _Mid = nn.remat(UNetMidBlockSpatioTemporal)
+            _CrossUp = nn.remat(CrossAttnUpBlockSpatioTemporal)
+            _Up = nn.remat(UpBlockSpatioTemporal)
+        else:
+            _CrossDown = CrossAttnDownBlockSpatioTemporal
+            _Down = DownBlockSpatioTemporal
+            _Mid = UNetMidBlockSpatioTemporal
+            _CrossUp = CrossAttnUpBlockSpatioTemporal
+            _Up = UpBlockSpatioTemporal
+
         res_states = [h]
         for i, block_type in enumerate(cfg.down_block_types):
             out_ch = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnDownBlockSpatioTemporal":
-                h, states = CrossAttnDownBlockSpatioTemporal(
+                h, states = _CrossDown(
                     out_ch, cfg.num_attention_heads[i],
                     num_layers=cfg.layers_per_block,
                     transformer_layers=cfg.transformer_layers_per_block,
@@ -146,14 +166,14 @@ class UNetSpatioTemporalCondition(nn.Module):
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(h, emb, cond, image_only_indicator)
             else:
-                h, states = DownBlockSpatioTemporal(
+                h, states = _Down(
                     out_ch, num_layers=cfg.layers_per_block,
                     add_downsample=not is_final, dtype=self.dtype,
                     name=f"down_blocks_{i}",
                 )(h, emb, image_only_indicator)
             res_states.extend(states)
 
-        h = UNetMidBlockSpatioTemporal(
+        h = _Mid(
             cfg.block_out_channels[-1], cfg.num_attention_heads[-1],
             transformer_layers=cfg.transformer_layers_per_block,
             context_dim=cfg.cross_attention_dim, ablate=cfg.ablate,
@@ -166,20 +186,25 @@ class UNetSpatioTemporalCondition(nn.Module):
             out_ch = rev_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
             n_layers = cfg.layers_per_block + 1
+            # hand each block ONLY its own skip states: the blocks pop from
+            # the list they receive, and under nn.remat that list is a
+            # pytree copy whose mutation would not reach the next block
+            states_i = res_states[-n_layers:]
+            del res_states[-n_layers:]
             if block_type == "CrossAttnUpBlockSpatioTemporal":
-                h = CrossAttnUpBlockSpatioTemporal(
+                h = _CrossUp(
                     out_ch, rev_heads[i], num_layers=n_layers,
                     transformer_layers=cfg.transformer_layers_per_block,
                     context_dim=cfg.cross_attention_dim,
                     add_upsample=not is_final, use_mamba=cfg.use_mamba,
                     scan_impl=cfg.scan_impl, ablate=cfg.ablate,
                     dtype=self.dtype, name=f"up_blocks_{i}",
-                )(h, res_states, emb, cond, image_only_indicator)
+                )(h, list(states_i), emb, cond, image_only_indicator)
             else:
-                h = UpBlockSpatioTemporal(
+                h = _Up(
                     out_ch, num_layers=n_layers, add_upsample=not is_final,
                     dtype=self.dtype, name=f"up_blocks_{i}",
-                )(h, res_states, emb, image_only_indicator)
+                )(h, list(states_i), emb, image_only_indicator)
 
         h = GroupNorm32(name="conv_norm_out")(h)
         h = nn.silu(h)

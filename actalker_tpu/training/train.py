@@ -145,7 +145,9 @@ def main(argv=None):
 
     ucfg = UNetConfig(scan_impl="pallas" if jax.default_backend() == "tpu"
                       else "blocked",
-                      ablate=tuple(cfg.get("ablate", ()) or ()))
+                      ablate=tuple(cfg.get("ablate", ()) or ()),
+                      gradient_checkpointing=bool(
+                          solver.get("gradient_checkpointing", False)))
     if args.micro_model:
         ucfg = ucfg.micro()
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

@@ -335,3 +335,36 @@ def test_unet_ablation_variants(ablate):
         assert "attn2" not in flat
     if ablate == ():
         assert "attn2" in flat and "A_logs" in flat
+
+
+def test_gradient_checkpointing_matches_plain():
+    """Remat blocks must reproduce the plain forward AND its gradients
+    (reference trains with activation checkpointing, train.yaml solver)."""
+    cfg = UNetConfig(scan_impl="blocked").micro()
+    cfg_gc = dataclasses.replace(cfg, gradient_checkpointing=True)
+    b, f, hw = 1, 2, 8
+    from actalker_tpu.models.conditioning import Conditioning
+
+    cond = Conditioning(
+        id_tokens=jnp.zeros((b * f, 1, 1024)),
+        audio_tokens=jax.random.normal(KEY, (b * f, 32, 1024)) * 0.1,
+        vasa_tokens=jnp.zeros((b * f, 1, 1024)),
+        audio_mask=jnp.ones((1, 1, hw, hw)),
+        exp_mask=jnp.ones((1, 1, hw, hw)),
+    )
+    x = jax.random.normal(KEY, (b, f, hw, hw, 8))
+    tids = jnp.zeros((b, 3))
+    unet = UNetSpatioTemporalCondition(cfg)
+    unet_gc = UNetSpatioTemporalCondition(cfg_gc)
+    params = unet.init(KEY, x, 0.5, cond, tids)
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, x, 0.5, cond, tids) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(unet, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(unet_gc, p))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4),
+        g0, g1)
