@@ -235,10 +235,13 @@ def _bwd_kernel(u_ref, dt_ref, A_ref, BC_ref, Dskip_ref, bias_ref, bnd_ref,
             hs.append(hn)
         return tuple(hs)
 
-    def fwd_step(ti, h):
-        return fwd_token(lc - 1 - ti if reverse else ti, h)
+    def fwd_step(tg, h):
+        for j in range(2):
+            ti = tg * 2 + j
+            h = fwd_token(lc - 1 - ti if reverse else ti, h)
+        return h
 
-    jax.lax.fori_loop(0, lc, fwd_step, h0)
+    jax.lax.fori_loop(0, lc // 2, fwd_step, h0)
 
     # ---- backward walk (reverse scan order within the chunk) -------------
     g0 = tuple(g_scr[:, n * dp:(n + 1) * dp] for n in range(n_state))
@@ -269,8 +272,6 @@ def _bwd_kernel(u_ref, dt_ref, A_ref, BC_ref, Dskip_ref, bias_ref, bnd_ref,
             dA_segs.append(
                 jnp.sum(g_n * hm1 * dt_t * da, axis=0, keepdims=True))
             g = g[:n] + (g_n * da,) + g[n + 1:]
-        dA_ref[0] = dA_ref[0] + jnp.concatenate(dA_segs, axis=1)
-        dD_ref[0] = dD_ref[0] + jnp.sum(dy_t * u_t, axis=0, keepdims=True)
         du_ref[pl.ds(i, 1)] = (dt_t * gBsum + dskip * dy_t)[None].astype(
             du_ref.dtype)
         ddt_ref[pl.ds(i, 1)] = ((u_t * gBsum + gAah) * sig_t)[None].astype(
@@ -280,19 +281,33 @@ def _bwd_kernel(u_ref, dt_ref, A_ref, BC_ref, Dskip_ref, bias_ref, bnd_ref,
             + [jnp.zeros((8, BC_ref.shape[-1] - 2 * n_state), jnp.float32)],
             axis=1)
         dbc_ref[pl.ds(i, 1)] = row[None].astype(dbc_ref.dtype)
-        return g
+        return g, jnp.concatenate(dA_segs, axis=1), \
+            jnp.sum(dy_t * u_t, axis=0, keepdims=True)
 
-    def bwd_step(ti, g):
+    ub = 2
+    assert lc % ub == 0, (lc, ub)
+
+    def bwd_step(tg, g):
         # walk tokens opposite to scan order within the chunk; the last
         # walked token (ti == lc-1) is the chunk's scan-first token, whose
-        # h_{t-1} is the boundary checkpoint.
-        if reverse:
-            i, iprev = ti, jnp.minimum(ti + 1, lc - 1)
-        else:
-            i, iprev = lc - 1 - ti, jnp.maximum(lc - 2 - ti, 0)
-        return bwd_token(i, iprev, ti == lc - 1, g)
+        # h_{t-1} is the boundary checkpoint. dA/dD accumulate locally per
+        # unrolled group (one VMEM read-modify-write per ub tokens).
+        dA_acc = None
+        dD_acc = None
+        for j in range(ub):
+            ti = tg * ub + j
+            if reverse:
+                i, iprev = ti, jnp.minimum(ti + 1, lc - 1)
+            else:
+                i, iprev = lc - 1 - ti, jnp.maximum(lc - 2 - ti, 0)
+            g, dA_row, dD_row = bwd_token(i, iprev, ti == lc - 1, g)
+            dA_acc = dA_row if dA_acc is None else dA_acc + dA_row
+            dD_acc = dD_row if dD_acc is None else dD_acc + dD_row
+        dA_ref[0] = dA_ref[0] + dA_acc
+        dD_ref[0] = dD_ref[0] + dD_acc
+        return g
 
-    g = jax.lax.fori_loop(0, lc, bwd_step, g0, unroll=False)
+    g = jax.lax.fori_loop(0, lc // ub, bwd_step, g0, unroll=False)
     for n in range(n_state):
         g_scr[:, n * dp:(n + 1) * dp] = g[n]
 
