@@ -199,14 +199,16 @@ def magnitude_to_bucket(magnitude: float) -> int:
 
 
 def get_motion_score(frames: np.ndarray) -> int:
-    """Motion bucket of a clip (T, H, W, C uint8/float, BGR like the
-    reference's decord output): Farneback flow per consecutive pair, mean
-    magnitude per pair, max over pairs -> bucket
-    (``motion_estimation_service.py:114-128``)."""
+    """Motion bucket of a clip (T, H, W, C uint8/float, **RGB** as produced
+    by ``frontend.video.read_frames``): Farneback flow per consecutive pair,
+    mean magnitude per pair, max over pairs -> bucket
+    (``motion_estimation_service.py:114-128``; the reference converts BGR
+    decord frames with cv2.COLOR_BGR2GRAY — same luma weights, RGB order
+    here)."""
     if len(frames) < 2:
         return 0
     f = np.asarray(frames, np.float32)
-    gray = 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2] \
+    gray = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2] \
         if f.ndim == 4 else f
     pair_scores = []
     for a, b in zip(gray[:-1], gray[1:]):

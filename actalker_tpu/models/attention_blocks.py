@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from actalker_tpu.models.common import LayerNormF32, dense
 from actalker_tpu.ops.attention import dot_product_attention, self_attention_bhsd
+from actalker_tpu.ops.resize import torch_bicubic_resize
 
 
 class _Proj(nn.Module):
@@ -70,14 +71,17 @@ def downsample_ip_mask(mask: jax.Array, num_queries: int) -> jax.Array:
 
     Matches diffusers' ``IPAdapterMaskProcessor.downsample``: bicubic resize
     to a (mask_h, mask_w) grid chosen from the query count and the mask aspect
-    ratio, flatten, then zero-pad / truncate to ``num_queries``.
+    ratio, flatten, then zero-pad / truncate to ``num_queries``. Uses the
+    torch-exact a=-0.75 cubic kernel (``ops/resize.py``) — ``jax.image``'s
+    a=-0.5 cubic shifts mask values by up to ~0.3 and flips the v10 mamba
+    token selection at region boundaries.
     """
     b, _, o_h, o_w = mask.shape
     ratio = o_w / o_h
     mask_h = int(math.sqrt(num_queries / ratio))
     mask_h = mask_h + int((num_queries % mask_h) != 0)
     mask_w = num_queries // mask_h
-    m = jax.image.resize(mask[:, 0], (b, mask_h, mask_w), method="cubic")
+    m = torch_bicubic_resize(mask[:, 0], mask_h, mask_w)
     m = m.reshape(b, mask_h * mask_w)
     if mask_h * mask_w < num_queries:
         m = jnp.pad(m, ((0, 0), (0, num_queries - mask_h * mask_w)))

@@ -64,8 +64,11 @@ class TransformerSpatioTemporal(nn.Module):
         b, f, hh, ww, c = x.shape
         inner = self.heads * self.head_dim
         residual = x
-        h = GroupNorm32(epsilon=1e-6, name="norm")(x)
-        h = h.reshape(b * f, hh * ww, c)
+        # Per-frame statistics: the reference norm runs on (B*F, C, H, W)
+        # (TransformerSTmodel.py:4073-4076); a 5-D call would pool stats
+        # across frames.
+        h = GroupNorm32(epsilon=1e-6, name="norm")(
+            x.reshape(b * f, hh * ww, c))
         h = dense(inner, dtype=self.dtype, name="proj_in")(h)
 
         # frame-position embedding, shared across spatial positions

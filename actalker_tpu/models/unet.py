@@ -206,9 +206,9 @@ class UNetSpatioTemporalCondition(nn.Module):
                     dtype=self.dtype, name=f"up_blocks_{i}",
                 )(h, list(states_i), emb, image_only_indicator)
 
+        # Per-frame statistics (reference conv_norm_out sees (B*F, C, H, W)).
+        h = h.reshape(bf, *h.shape[2:])
         h = GroupNorm32(name="conv_norm_out")(h)
         h = nn.silu(h)
-        h = conv2d(cfg.out_channels, dtype=self.dtype, name="conv_out")(
-            h.reshape(bf, *h.shape[2:])
-        )
+        h = conv2d(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
         return h.reshape(b, f, hh, ww, cfg.out_channels)

@@ -131,11 +131,12 @@ class TemporalDecoder(nn.Module):
                 hs = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(hs)
                 h = hs.reshape(b, f, *hs.shape[1:])
 
-        h = GroupNorm32(epsilon=1e-6, name="conv_norm_out")(h)
-        h = nn.silu(h)
-        hs = conv2d(3, dtype=self.dtype, name="conv_out")(
-            h.reshape(b * f, *h.shape[2:])
-        )
+        # Per-frame statistics (diffusers TemporalDecoder normalizes the
+        # (B*F, C, H, W) sample).
+        hs = h.reshape(b * f, *h.shape[2:])
+        hs = GroupNorm32(epsilon=1e-6, name="conv_norm_out")(hs)
+        hs = nn.silu(hs)
+        hs = conv2d(3, dtype=self.dtype, name="conv_out")(hs)
         h = hs.reshape(b, f, *hs.shape[1:])
         # temporal smoothing conv over frames
         h = nn.Conv(3, kernel_size=(3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),

@@ -310,19 +310,23 @@ class YoloFaceDetector:
                           cand[:, 1] - cand[:, 3] / 2,
                           cand[:, 0] + cand[:, 2] / 2,
                           cand[:, 1] + cand[:, 3] / 2], axis=1)
-        keep = nms_xyxy(boxes, cand[:, 4], self.iou_thres)
-        boxes, cand = boxes[keep], cand[keep]
+        keep = nms_xyxy(boxes, conf, self.iou_thres)
+        boxes, cand, conf = boxes[keep], cand[keep], conf[keep]
 
         sx, sy = w0 / w1, h0 / h1
         bboxes = np.stack([boxes[:, 0] * sx, boxes[:, 1] * sy,
                            (boxes[:, 2] - boxes[:, 0]) * sx,
                            (boxes[:, 3] - boxes[:, 1]) * sy], axis=1)
         kpss = cand[:, 5:15].reshape(-1, 5, 2) * np.array([[sx, sy]])
-        return bboxes, kpss, cand[:, 4]
+        return bboxes, kpss, conf
 
-    def __call__(self, image_bgr: np.ndarray):
-        """frontend.face.FaceDetector protocol: best box as (x1,y1,x2,y2)."""
-        bboxes, _, scores = self.detect(image_bgr)
+    def __call__(self, image_rgb: np.ndarray):
+        """frontend.face.FaceDetector protocol: best box as (x1,y1,x2,y2).
+
+        The protocol delivers RGB frames; ``detect`` expects BGR (it flips
+        internally, matching the reference yoloface input contract), so flip
+        here."""
+        bboxes, _, scores = self.detect(np.ascontiguousarray(image_rgb[..., ::-1]))
         if len(bboxes) == 0:
             return None
         x, y, w, h = bboxes[np.argmax(scores)]

@@ -149,6 +149,29 @@ def test_groupnorm_matches_torch():
     np.testing.assert_allclose(np.asarray(y), o.numpy(), rtol=1e-4, atol=1e-4)
 
 
+def test_norm_bf16_affine_error_bounded():
+    """The norms apply the affine in the activation dtype (perf: avoids an
+    f32 promotion of the whole map, models/common.py). When |mean| >> std the
+    bf16 rounding of x*a is relative to mean/std rather than to the
+    normalized output; bound that error on a pathological input so the
+    tradeoff stays quantified (ADVICE round 1, models/common.py:82)."""
+    from actalker_tpu.models.common import GroupNorm32, LayerNormF32
+
+    rng = np.random.default_rng(3)
+    # mean/std = 100: worst realistic conditioning for activations
+    x = (100.0 + rng.standard_normal((2, 8, 8, 64))).astype(np.float32)
+    for m in (GroupNorm32(num_groups=8), LayerNormF32()):
+        params = m.init(KEY, jnp.asarray(x))
+        want = np.asarray(m.apply(params, jnp.asarray(x)))
+        got = np.asarray(
+            m.apply(params, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32))
+        # input quantization alone contributes ~(mean/std)*2^-8 ~= 0.4;
+        # the affine-in-bf16 shortcut must stay within the same order.
+        err = np.abs(got - want)
+        assert err.max() < 1.5, (type(m).__name__, err.max())
+        assert np.sqrt((err ** 2).mean()) < 0.5, (type(m).__name__,)
+
+
 def test_resnet_block_shapes():
     x = jax.random.normal(KEY, (4, 8, 8, 16))
     temb = jax.random.normal(KEY, (4, 24))
@@ -264,6 +287,22 @@ def test_mask_downsample_box():
     out = np.asarray(out).reshape(8, 8)
     assert out[4, 4] > 0.9   # box interior survives
     assert out[0, 0] < 0.1   # outside stays off
+
+
+def test_torch_bicubic_resize_matches_torch():
+    """ops/resize.py must match F.interpolate(mode='bicubic') bit-for-bit —
+    jax.image's cubic (a=-0.5) shifts IP-mask values and v10 token selection."""
+    torch = pytest.importorskip("torch")
+    from actalker_tpu.ops.resize import torch_bicubic_resize
+
+    rng = np.random.default_rng(7)
+    for (h, w, oh, ow) in [(64, 64, 16, 16), (64, 48, 23, 11), (9, 7, 31, 17)]:
+        x = rng.standard_normal((2, h, w)).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x)[None], size=(oh, ow), mode="bicubic"
+        )[0].numpy()
+        got = np.asarray(torch_bicubic_resize(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_ssm_unit_pallas_path_matches_blocked():
