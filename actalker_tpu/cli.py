@@ -80,10 +80,12 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
     return ACTalkerPipeline(modules, params, dtype=dtype)
 
 
-def postprocess_frames(cfg, frames01, face_box):
+def postprocess_frames(cfg, frames01, face_box, landmarks=None):
     """Optional post-processes on decoded frames (reference config flags
     use_bfr / use_teeth_enhance / use_interframe). Each runs only when its
-    checkpoint is configured; frames are (N, H, W, 3) in [0, 1]."""
+    checkpoint is configured; frames are (N, H, W, 3) in [0, 1].
+    ``landmarks`` (5, 2) tightens the BFR alignment warp (the reference
+    aligns on the 5-pt detector output, ``test_preprocess.py:286-304``)."""
     import numpy as np
 
     def have(p):
@@ -106,7 +108,10 @@ def postprocess_frames(cfg, frames01, face_box):
             u8 = (fr * 255).round().astype(np.uint8)
             out.append(enhance_teeth(u8, mouth, fn).astype(np.float32) / 255)
         frames01 = np.stack(out)
-    if cfg.use_bfr and have(cfg.bfr_checkpoint_path):
+    # Frame-level BFR is an EXTENSION (the reference only enhances the ref
+    # image during preprocessing, ``test_preprocess.py:286-304`` — that
+    # path runs in ``_run_single``); opt in via extras.use_bfr_frames.
+    if (cfg.extras.get("use_bfr_frames") and have(cfg.bfr_checkpoint_path)):
         import jax
 
         from actalker_tpu.frontend.enhance import enhance_face
@@ -120,7 +125,8 @@ def postprocess_frames(cfg, frames01, face_box):
         out = []
         for fr in frames01:
             u8 = (fr * 255).round().astype(np.uint8)
-            out.append(enhance_face(u8, face_box, fn).astype(np.float32) / 255)
+            out.append(enhance_face(u8, face_box, fn, landmarks=landmarks)
+                       .astype(np.float32) / 255)
         frames01 = np.stack(out)
     if cfg.use_interframe and have(cfg.rife_checkpoint_path):
         import jax
@@ -214,11 +220,18 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
     from actalker_tpu.frontend import audio as A
     from actalker_tpu.frontend import preprocess as P
     from actalker_tpu.frontend import video as V
-    from actalker_tpu.frontend.face import detect_face
+    from actalker_tpu.frontend.face import detect_face, resolve_face_detector
 
     t0 = t0 or time.time()
+    detector = None
+    try:
+        detector = resolve_face_detector(cfg.det_checkpoint_path,
+                                         cfg.scrfd_checkpoint_path)
+    except Exception as e:
+        print(f"[actalker_tpu] face detector unavailable ({e}); "
+              "full-image bbox")
     ref_rgb = np.asarray(Image.open(args.ref).convert("RGB"))
-    bbox = detect_face(ref_rgb)
+    bbox = detect_face(ref_rgb, detector)
     if bbox is None:
         print("[actalker_tpu] no face detected; using full-image bbox")
     pre = P.preprocess_reference_image(
@@ -228,6 +241,58 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
     )
     h, w = pre.ref_img.shape[:2]
     print(f"ref {h}x{w}")
+
+    # BFR enhancement of the processed reference image, BEFORE the ArcFace
+    # crop — reference semantics (``test_preprocess.py:286-304``: enhance
+    # the cropped+resized imSrc with landmarks re-detected on it, 50/50
+    # blend with the input).
+    if cfg.use_bfr and os.path.exists(cfg.bfr_checkpoint_path):
+        import jax
+
+        from actalker_tpu.frontend.enhance import enhance_face
+        from actalker_tpu.frontend.landmarks import YoloFaceLandmarks
+        from actalker_tpu.io import weights as W
+        from actalker_tpu.models.stylegan2 import GPENGenerator
+
+        bparams = W.convert_bfr(
+            W.load_torch_state_dict(cfg.bfr_checkpoint_path))
+        bfr_fn = jax.jit(lambda x: GPENGenerator().apply(bparams, x))
+        u8 = ((pre.ref_img * 0.5 + 0.5) * 255).round().astype(np.uint8)
+        lm5 = None
+        rbox = pre.bbox_ref
+        if detector is not None and hasattr(detector, "detect"):
+            try:
+                rbox = detect_face(u8, detector) or rbox
+                lm5 = YoloFaceLandmarks(detector)(u8, rbox)
+            except Exception:
+                lm5 = None
+        enhanced = enhance_face(u8, rbox, bfr_fn, landmarks=lm5)
+        pre.ref_img = enhanced.astype(np.float32) / 127.5 - 1.0
+        # refresh the ArcFace head crop from the enhanced image
+        bx1, by1, bx2, by2 = [int(max(v, 0)) for v in pre.bbox_ref]
+        head = enhanced[by1:max(by2, by1 + 1), bx1:max(bx2, bx1 + 1)]
+        if head.size:
+            pre.head_crop = (P.resize_image(head, (112, 112))
+                             .astype(np.float32) / 127.5 - 1.0)
+
+    # ArcFace ID embedding of the aligned head crop
+    # (``test_preprocess.py:437-453``); zero-embed fallback matches
+    # running the reference without the encoder.
+    id_embed = np.zeros(512, np.float32)
+    if os.path.exists(cfg.arcface_checkpoint_path):
+        import jax
+
+        from actalker_tpu.io import weights as W
+        from actalker_tpu.models.arcface import iresnet50
+
+        aparams = W.convert_arcface(
+            W.load_torch_state_dict(cfg.arcface_checkpoint_path))
+        id_embed = np.asarray(jax.jit(iresnet50().apply)(
+            aparams, jnp.asarray(pre.head_crop)[None]))[0]
+    else:
+        print("[actalker_tpu] WARNING: arcface weights not found at "
+              f"{cfg.arcface_checkpoint_path}; identity conditioning is a "
+              "zero embedding")
 
     mel, audio_len = A.whisper_features(args.audio)
     limit = args.frame_limit or cfg.frame_num
@@ -260,7 +325,7 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
     if args.mode != 0 and args.video and "vasa_expression" in pipe.params:
         frames = V.read_frames(args.video, limit=num_frames * cfg.step)
         fh, fw = frames.shape[1:3]
-        vbox = detect_face(frames[0]) or (0, 0, fw, fh)
+        vbox = detect_face(frames[0], detector) or (0, 0, fw, fh)
         sq = P.process_bbox(list(vbox), 1.0, fh, fw)
         x1, y1, x2, y2 = [int(max(v, 0)) for v in sq]
         x2, y2 = min(x2, fw), min(y2, fh)
@@ -284,12 +349,24 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
     pose_imgs = np.repeat(pre.pose_img[None], num_frames, axis=0)
     scfg = cfg.sampler_config(gate)
     latents = pipe.generate_latents(
-        pre.ref_img, np.zeros(512, np.float32), audio_tok, audio_unc,
+        pre.ref_img, id_embed, audio_tok, audio_unc,
         vasa_tok, vasa_unc, pose_imgs, scfg, seed=cfg.seed or 0,
     )
     frames = pipe.decode_latents(latents, cfg.decode_chunk_size)
     frames01 = np.clip(frames * 0.5 + 0.5, 0, 1)
-    frames01 = postprocess_frames(cfg, frames01, pre.bbox)
+    # frame-space box/landmarks for the optional frame-level passes
+    flm5 = None
+    if ((cfg.use_teeth_enhance or cfg.extras.get("use_bfr_frames"))
+            and detector is not None and hasattr(detector, "detect")):
+        from actalker_tpu.frontend.landmarks import YoloFaceLandmarks
+
+        try:
+            f0 = (frames01[0] * 255).round().astype(np.uint8)
+            flm5 = YoloFaceLandmarks(detector)(f0, pre.bbox_ref)
+        except Exception:
+            flm5 = None  # box-prior fallback inside enhance_face
+    frames01 = postprocess_frames(cfg, frames01, pre.bbox_ref,
+                                  landmarks=flm5)
 
     out_dir = os.path.join(cfg.output_dir, cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
@@ -325,7 +402,7 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
         scfg = new_cfg.sampler_config(gate)
         t0 = time.time()
         latents = pipe.generate_latents(
-            pre.ref_img, np.zeros(512, np.float32), audio_tok, audio_unc,
+            pre.ref_img, id_embed, audio_tok, audio_unc,
             vasa_tok, vasa_unc, pose_imgs, scfg, seed=new_cfg.seed or 0,
         )
         frames01 = np.clip(

@@ -58,6 +58,11 @@ class InferenceConfig:
     vasa_linear_checkpoint_path: str = ""
     vasa_checkpoint_path: str = ""
     whisper_model: str = ""
+    # face-alignment stack (reference AlignImage det_path / scrfd alt,
+    # ``src/utils/face_align/align.py:270-274``)
+    det_checkpoint_path: str = "checkpoints/yolov5m-face.pth"
+    scrfd_checkpoint_path: str = "checkpoints/scrfd_10g_bnkps.pth"
+    arcface_checkpoint_path: str = "checkpoints/arcface_r50.pth"
     bfr_checkpoint_path: str = ""
     teeth_checkpoint_path: str = ""
     rife_checkpoint_path: str = ""

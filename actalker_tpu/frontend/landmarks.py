@@ -84,14 +84,17 @@ class LandmarkEstimator:
 
 
 class YoloFaceLandmarks:
-    """5-point landmarks straight from the YOLOv5-face detect head
+    """5-point landmarks straight from a learned detect head
     (``models/yoloface.py`` regresses them next to each box — the same
     source the reference's aligner ultimately keys off,
-    ``src/utils/face_align/yoloface.py``). Preferred over the cascade
-    estimator whenever converted weights are supplied."""
+    ``src/utils/face_align/yoloface.py``; ``models/scrfd.py`` exposes the
+    identical ``detect`` contract, ``scrfd.py:216-268``). Preferred over
+    the cascade estimator whenever converted weights are supplied."""
 
     def __init__(self, detector):
-        self.detector = detector  # models.yoloface.YoloFaceDetector
+        # models.yoloface.YoloFaceDetector or models.scrfd.ScrfdDetector:
+        # anything with .detect(bgr) -> (xywh boxes, (N,5,2) kps, scores)
+        self.detector = detector
 
     def __call__(self, image: np.ndarray, face_box: Box) -> np.ndarray:
         bboxes, kpss, scores = self.detector.detect(image[..., ::-1])
@@ -104,6 +107,23 @@ class YoloFaceLandmarks:
         iw = np.maximum(0, np.minimum(bx2, x2) - np.maximum(bx1, x1))
         ih = np.maximum(0, np.minimum(by2, y2) - np.maximum(by1, y1))
         return kpss[int(np.argmax(iw * ih * scores))].astype(np.float32)
+
+
+def resolve_landmark_estimator(det_path: str = "", scrfd_path: str = ""):
+    """Best available 5-pt landmarker, same preference order as
+    ``frontend.face.resolve_face_detector``: learned detect-head keypoints
+    (yoloface, then SCRFD) when converted weights exist, else the cascade
+    part-detector estimator (already a loud-warned degradation at the
+    detector level)."""
+    import os
+
+    if ((det_path and os.path.exists(det_path))
+            or (scrfd_path and os.path.exists(scrfd_path))):
+        from actalker_tpu.frontend.face import resolve_face_detector
+
+        return YoloFaceLandmarks(
+            resolve_face_detector(det_path, scrfd_path))
+    return LandmarkEstimator()
 
 
 def estimate_landmarks(image: np.ndarray, face_box: Optional[Box] = None,

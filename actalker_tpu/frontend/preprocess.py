@@ -124,6 +124,10 @@ class PreprocessedImage:
     exp_mask: np.ndarray     # (H, W, 3)
     head_crop: np.ndarray    # (112, 112, 3) in [-1, 1] for ArcFace
     bbox: Tuple[float, float, float, float]
+    # face box mapped into ref_img pixel coordinates (after the optional
+    # crop and the 64-multiple resize) — what frame-space consumers
+    # (teeth/BFR on decoded frames) must use
+    bbox_ref: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
 
 def preprocess_reference_image(
@@ -159,6 +163,7 @@ def preprocess_reference_image(
     exp = pose - mouth
 
     img = image
+    off_x = off_y = 0.0
     if crop:
         bbox_s = process_bbox([bx1, by1, bx2, by2], expand_ratio, h, w)
         cx1, cy1, cx2, cy2 = get_bbox_by_aspect(bbox_s, aspect_type, w, h)
@@ -166,13 +171,19 @@ def preprocess_reference_image(
         pose = pose[cy1:cy2, cx1:cx2]
         mouth = mouth[cy1:cy2, cx1:cx2]
         exp = exp[cy1:cy2, cx1:cx2]
+        off_x, off_y = float(cx1), float(cy1)
 
+    ih, iw = img.shape[:2]
     ref = resize_to_64_multiple(img, image_size).astype(np.float32) / 255.0
     ref = ref * 2.0 - 1.0
     pose = resize_to_64_multiple(pose, image_size).astype(np.float32) / 255.0
     mouth = resize_to_64_multiple(mouth, image_size).astype(np.float32) / 255.0
     exp = resize_to_64_multiple(exp, image_size).astype(np.float32) / 255.0
+    sy = ref.shape[0] / ih
+    sx = ref.shape[1] / iw
+    bbox_ref = ((x1 - off_x) * sx, (y1 - off_y) * sy,
+                (x2 - off_x) * sx, (y2 - off_y) * sy)
     return PreprocessedImage(
         ref_img=ref, pose_img=pose, mouth_mask=mouth, exp_mask=exp,
-        head_crop=head_crop, bbox=face_bbox,
+        head_crop=head_crop, bbox=face_bbox, bbox_ref=bbox_ref,
     )

@@ -57,6 +57,11 @@ MANIFEST = {
         "checkpoints/yolov5m-face.pth",
         "actalker_tpu.models.yoloface.convert_yoloface",
         "state dict export of the TorchScript blob"),
+    "scrfd-10g-bnkps": (
+        "checkpoints/scrfd_10g_bnkps.pth",
+        "actalker_tpu.models.scrfd.convert_scrfd",
+        "state dict export of the insightface release (alt face detector, "
+        "reference scrfd.py:14)"),
     "rife hdv3": (
         "checkpoints/flownet.pkl",
         "actalker_tpu.io.weights.convert_rife", ""),
