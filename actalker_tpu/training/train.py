@@ -80,7 +80,10 @@ def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
 
     ds = PortraitAudioDataset(
         load_metadata(metadata_paths),
-        DataConfig(n_sample_frames=frames, image_size=image_size),
+        # deterministic shapes whenever samples are stacked across a batch
+        # (the reference trains bs=1/GPU with the random-size augmentation)
+        DataConfig(n_sample_frames=frames, image_size=image_size,
+                   deterministic_shape=batch_size > 1),
         frame_reader,
     )
     i = 0

@@ -58,53 +58,186 @@ def test_bbox_helpers():
     assert box == [0, 0, 100, 100]
 
 
-def test_dataset_pipeline():
+def _static_clip_store(t=40, hw=96):
     rng = np.random.default_rng(0)
-    base = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    base = rng.integers(0, 255, (1, hw, hw, 3), np.uint8)
     # near-static clip: large frame-to-frame motion is rejected by the
     # motion-bucket gate (faithful to the reference's resampling)
-    frames_store = np.clip(
-        base.astype(np.int32)
-        + rng.integers(-3, 3, (40, 64, 64, 3)), 0, 255
+    return np.clip(
+        base.astype(np.int32) + rng.integers(-3, 3, (t, hw, hw, 3)), 0, 255
     ).astype(np.uint8)
+
+
+def test_dataset_pipeline():
+    frames_store = _static_clip_store()
 
     def frame_reader(path, idxs):
         return frames_store[list(idxs)]
 
     clips = [{
         "video_path": "fake.mp4", "frames": 40,
-        "bboxes": [[10, 10, 50, 50]] * 40,
+        "bboxes": [[10, 10, 80, 80]] * 40,
         "landmarks": [[[20, 20], [30, 30]]] * 40,
-        "quality": 1.0,
     }]
     ds = D.PortraitAudioDataset(
-        clips, D.DataConfig(n_sample_frames=8, image_size=64),
+        clips, D.DataConfig(n_sample_frames=8, image_size=128,
+                            deterministic_shape=True),
         frame_reader,
     )
     s = ds[0]
-    assert s["frames"].shape == (8, 64, 64, 3)
+    assert s["frames"].shape == (8, 128, 128, 3)
+    assert s["ref_frame"].shape == (128, 128, 3)
     assert -1.01 <= s["frames"].min() and s["frames"].max() <= 1.01
-    assert s["pose_mask"].shape == (64, 64)
+    assert s["pose_mask"].shape == (128, 128)
+    assert s["head_crop"].shape == (112, 112, 3)
+    assert s["vasa_face"].shape == (8, 256, 256, 3)
+    assert s["vasa_pose"].shape == (8, 256, 256, 3)
     assert 0 <= s["motion_bucket"] <= 128
+    assert s["audio_step"] in (1, 2)
+    # stride policy: valid 40 >= 2*8 -> step 2 (reference 703-707)
+    assert s["audio_step"] == 2
 
 
 def test_dataset_retry_on_bad_clip():
     good = {"video_path": "g", "frames": 40,
-            "bboxes": [[0, 0, 30, 30]] * 40, "quality": 1.0}
-    bad = {"video_path": "b", "frames": 2, "bboxes": [[0, 0, 1, 1]] * 2,
-           "quality": 1.0}
+            "bboxes": [[0, 0, 60, 60]] * 40}
+    bad = {"video_path": "b", "frames": 2, "bboxes": [[0, 0, 1, 1]] * 2}
 
     def frame_reader(path, idxs):
         if path == "b":
             raise IOError("corrupt")
-        return np.zeros((len(idxs), 64, 64, 3), np.uint8)
+        return np.zeros((len(idxs), 96, 96, 3), np.uint8)
 
     ds = D.PortraitAudioDataset(
-        [bad, good], D.DataConfig(n_sample_frames=8, image_size=64),
+        [bad, good], D.DataConfig(n_sample_frames=8, image_size=128,
+                                  deterministic_shape=True),
         frame_reader,
     )
     s = ds[0]  # falls through to the good clip
     assert s["frames"].shape[0] == 8
+
+
+def test_dataset_sampling_policy():
+    """Stride / start / ref-frame decisions against hand-computed reference
+    bounds (``__getitem__`` 703-717; VERDICT r1 item #6)."""
+    import random
+
+    # stride: 1 below 2T, 2 at or above
+    assert D.clip_stride(40, 25) == 1
+    assert D.clip_stride(49, 25) == 1
+    assert D.clip_stride(50, 25) == 2
+    rng = random.Random(0)
+    for _ in range(200):
+        drive, src, step = D.sample_clip_indices(rng, s=10, e=80, t=25)
+        assert step == 2 and len(drive) == 25
+        assert drive[0] >= 10 and drive[-1] <= 79
+        assert drive[1] - drive[0] == 2
+        assert 10 <= src <= 79          # clamped into the valid clip
+    # degenerate: exactly T valid frames -> start pinned at s, stride 1
+    drive, src, step = D.sample_clip_indices(rng, s=5, e=30, t=25)
+    assert step == 1 and drive == list(range(5, 30)) and 5 <= src <= 29
+    with pytest.raises(ValueError):
+        D.sample_clip_indices(rng, s=0, e=10, t=25)
+
+
+def test_dataset_motion_buckets_exact():
+    """get_head_exp_motion_bucketid / check_lmk hand-computed cases
+    (reference 420-456)."""
+    rng = np.random.default_rng(0)
+    base = rng.uniform(50, 200, (256, 2))
+    # pure translation: expression variance 0, head bucket from the anchor
+    lmks = [base + [i * 2.0, 0.0] for i in range(10)]
+    head, exp = D.get_head_exp_motion_bucketid(lmks)
+    assert exp == 0
+    anchors = np.array([l[80] for l in lmks])
+    init = base[:102] - base[80]
+    scale = np.sqrt(((init.max(0) - init.min(0)) ** 2).sum())
+    want_head = int(np.sqrt(((anchors - anchors.mean(0)) ** 2).sum(1)).mean()
+                    / scale * 256)
+    assert head == min(want_head, 128)
+
+    # constant-velocity landmarks: max/mean velocity ratio == 1 -> 32
+    lmks5 = [np.array([[0, 0], [10, 0], [5, 5], [2, 9], [8, 9]], float)
+             + i * 3.0 for i in range(25)]
+    assert D.check_lmk(lmks5) == 32
+    # a single glitched frame in a 25-frame clip must trip the >128 gate
+    # (ratio -> ~n/2 for one spike: two big steps inflate the mean too)
+    glitch = [l.copy() for l in lmks5]
+    glitch[12] = glitch[12] + 500.0
+    assert D.check_lmk(glitch) > 128
+
+
+def test_dataset_blur_sharpen_matches_cv2():
+    """_blur_and_sharp parity: median blur and the 3x3 sharpen kernel against
+    the cv2 oracle (reference 556-565)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    for k in (3, 5):
+        got = D._median_blur(img, k)
+        want = cv2.medianBlur(img, k)
+        inner = (slice(k // 2, -k // 2), slice(k // 2, -k // 2))
+        np.testing.assert_array_equal(got[inner], want[inner])
+    kernel = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]])
+    want = cv2.filter2D(img, -1, kernel)
+    got = D._sharpen(img)
+    assert np.abs(got[1:-1, 1:-1].astype(int)
+                  - want[1:-1, 1:-1].astype(int)).max() <= 1
+
+
+def test_dataset_color_transfer_bounds():
+    import random
+
+    rng = random.Random(3)
+    img = np.full((8, 8, 3), 128, np.uint8)
+    seen_change = False
+    for _ in range(20):
+        out = D.color_transfer(rng, img)
+        assert out.shape == img.shape and out.dtype == img.dtype
+        # untouched channels stay identical; touched ones stay in range
+        assert out.min() >= 0 and out.max() <= 255
+        seen_change |= (out != img).any()
+    assert seen_change
+
+
+def test_dataset_audio_window_slicing():
+    """slice_audio_window semantics (``get_audio_file`` 632-654): 30 s
+    windows, whole-window advance, 4 s backoff near a window end."""
+    audio = np.arange(16000 * 70, dtype=np.float32)
+    # start inside the first window, away from the end
+    win, idx = D.slice_audio_window(audio, 100)
+    assert idx == 100 and len(win) == 16000 * 30 and win[0] == 0
+    # start beyond one window: advance by 30 s
+    win, idx = D.slice_audio_window(audio, 25 * 30 + 10)
+    assert idx == 10 and win[0] == 16000 * 30
+    # start near the window end: back off 4 s
+    win, idx = D.slice_audio_window(audio, 25 * 30 - 20)
+    assert idx == 25 * 30 - 20 - 4 * 25
+    assert win[0] == 16000 * 4 and len(win) == 16000 * 30
+
+
+def test_dataset_crop_helpers():
+    """crop_resize_img 64-multiples + PIL zero-pad crop; center_crop padded
+    square (reference 589-597, 313-331)."""
+    img = np.full((100, 80, 3), 200, np.uint8)
+    out = D.crop_resize_img(img, (-10, -10, 70, 90), 128.0)
+    assert out.shape[0] % 64 == 0 and out.shape[1] % 64 == 0
+    assert out[0, 0, 0] < 50          # out-of-range region zero-padded
+    assert out[out.shape[0] // 2, out.shape[1] // 2, 0] > 150
+
+    sq = D.center_crop(img, (60, 60, 100, 100), scale=1.0)
+    assert sq.shape[0] == sq.shape[1]          # square even at the border
+    sq17 = D.center_crop(img, (40, 40, 60, 60), scale=1.7)
+    assert sq17.shape[0] == sq17.shape[1] == 2 * int(10 * 1.7)
+
+
+def test_dataset_mouth_union_box():
+    lmk = np.zeros((256, 2))
+    lmk[102:136] = np.array([[30, 60]]) + np.arange(34)[:, None] * [1, 0.5]
+    lmk2 = lmk.copy()
+    lmk2[102:136] += [5, -2]
+    box = D.mouth_union_box([lmk, lmk2])
+    np.testing.assert_allclose(box, [30, 58, 68, 76.5])
 
 
 def test_pose_draw_skeleton():
