@@ -3,6 +3,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from actalker_tpu.evaluation import metrics as M
+import pytest
 
 
 def test_psnr_ssim_l1():
@@ -13,6 +14,32 @@ def test_psnr_ssim_l1():
     b = np.clip(a + 0.1, 0, 1)
     assert M.psnr(a, b) < 30
     assert M.ssim(a, b) < 1.0
+
+
+def test_ssim_windowed_matches_direct():
+    """The separable implementation equals a brute-force per-window SSIM
+    (Wang et al. 11x11 gaussian, sigma 1.5)."""
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (18, 15))
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+
+    half = 5.0
+    g1 = np.exp(-((np.arange(11) - half) ** 2) / (2 * 1.5**2))
+    g1 /= g1.sum()
+    w = np.outer(g1, g1)
+    c1, c2 = 0.01**2, 0.03**2
+    vals = []
+    for i in range(a.shape[0] - 10):
+        for j in range(a.shape[1] - 10):
+            x = a[i:i + 11, j:j + 11]
+            y = b[i:i + 11, j:j + 11]
+            mx, my = (w * x).sum(), (w * y).sum()
+            vx = (w * x * x).sum() - mx**2
+            vy = (w * y * y).sum() - my**2
+            vxy = (w * x * y).sum() - mx * my
+            vals.append(((2 * mx * my + c1) * (2 * vxy + c2))
+                        / ((mx**2 + my**2 + c1) * (vx + vy + c2)))
+    np.testing.assert_allclose(M.ssim(a, b), np.mean(vals), rtol=1e-10)
 
 
 def test_frechet_distance_identity_and_shift():
@@ -63,6 +90,7 @@ def test_sync_scores_recovers_offset():
     assert dist < 1e-6
 
 
+@pytest.mark.slow
 def test_lpips_alex_matches_torch_oracle():
     """LPIPSAlex + convert_lpips vs an independent torch implementation of
     lpips.LPIPS(net='alex') (scaling layer -> AlexNet relu features ->
@@ -127,6 +155,7 @@ def test_lpips_alex_matches_torch_oracle():
     assert (np.abs(same) < 1e-6).all()
 
 
+@pytest.mark.slow
 def test_syncnet_matches_torch_oracle():
     """SyncNet + convert_syncnet vs the reference tower definition
     (eval/sync/SyncNetModel.py class S) built in torch with random weights."""
@@ -200,6 +229,7 @@ def test_syncnet_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(got_l), ref_l, rtol=2e-4, atol=4e-4)
 
 
+@pytest.mark.slow
 def test_fid_inception_matches_torch_oracle():
     """Graph+converter parity against a torch re-implementation of the
     reference's FID InceptionV3 (eval/inception.py:16-161 incl. the TF
@@ -370,6 +400,7 @@ def test_fid_inception_matches_torch_oracle():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_i3d_matches_torch_oracle():
     """InceptionI3D graph+converter parity against a torch re-implementation
     of the reference's I3D (utils/pytorch_i3d.py:48-338: Unit3D with dynamic
@@ -465,6 +496,7 @@ def test_i3d_matches_torch_oracle():
     np.testing.assert_allclose(got_nchw, ref, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_s3fd_matches_torch_oracle():
     """S3FDNet backbone+heads parity against a torch re-implementation of
     the reference detector (eval/detectors/s3fd/nets.py:28-162), plus an
