@@ -77,6 +77,10 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
             modules, jax.random.PRNGKey(0), image_size=image_hw,
             latent_size=latent_hw, use_eval_shape=True,
         )
+    if dtype == jnp.bfloat16:
+        from actalker_tpu.io.init import cast_params_bf16
+
+        params = cast_params_bf16(params)
     return ACTalkerPipeline(modules, params, dtype=dtype)
 
 

@@ -24,6 +24,29 @@ def random_like(shapes, scale: float = 0.02, seed: int = 0):
     return jax.tree.map(make, shapes)
 
 
+def cast_params_bf16(tree: Any) -> Any:
+    """Inference-precision cast mirroring the reference (fp16 weights with
+    the mamba state params forced fp32, ``Inference.py:430-433``): kernels
+    (>=2-D leaves) go to bf16; 1-D leaves — biases, norm affines, and the
+    scan's ``A_logs``/``Ds``/``dt_projs_bias`` rows — stay fp32 (tiny, and
+    the scan kernel contract requires fp32 state params).
+
+    Keeping fp32 master params and letting the module's ``dtype=bf16``
+    convert on the fly doubles HBM (fp32 copy + bf16 temps inside the
+    sampler's while-loop) — enough to OOM a 16 GB chip on the full clip
+    pipeline."""
+
+    def cast(path, x):
+        name = str(path[-1].key) if path else ""
+        if (getattr(x, "ndim", 0) >= 2 and x.dtype == jnp.float32
+                and name not in ("A_logs", "dt_projs_weight",
+                                 "dt_projs_bias")):
+            return x.astype(jnp.bfloat16)
+        return x
+
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
 def init_pipeline_params(
     modules,
     key: jax.Array,

@@ -83,6 +83,21 @@ class ACTalkerPipeline:
         self.m = modules
         self.params = params
         self.dtype = dtype
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def _jit(self, name, key, builder):
+        """Per-pipeline cache of jitted callables.
+
+        ``jax.jit`` caches traces by FUNCTION IDENTITY — a lambda built
+        inside a method is a fresh function every call, so each call paid a
+        full re-trace (plus compile-cache lookup) and the encoders ran
+        eagerly op-by-op, which dominates wall-clock over the TPU tunnel
+        (~100 s of the first measured 151 s clip)."""
+        k = (name, key)
+        fn = self._jit_cache.get(k)
+        if fn is None:
+            fn = self._jit_cache[k] = builder()
+        return fn
 
     # ---------- conditioning encoders (host-called, jitted) ----------
 
@@ -102,10 +117,11 @@ class ACTalkerPipeline:
         windows = np.stack(
             [audio_feats[i * 2 * step: i * 2 * step + 10] for i in range(num_frames)]
         )  # (F, 10, 5, 384)
-        ap = self.m.audio_proj.apply(
-            self.params["audio_proj"], jnp.asarray(windows)[None]
-        )[0]  # (F, 32, 1024)
-        uncond = self.m.audio_proj.apply(
+        aproj = self._jit("audio_proj", (), lambda: jax.jit(
+            lambda p, w: self.m.audio_proj.apply(p, w)))
+        ap = aproj(self.params["audio_proj"], jnp.asarray(windows)[None])[0]
+        # (F, 32, 1024)
+        uncond = aproj(
             self.params["audio_proj"], jnp.zeros((1, 1, 10, 5, 384))
         )[0, 0]  # (32, 1024)
         uncond = jnp.broadcast_to(uncond[None], ap.shape)
@@ -120,10 +136,12 @@ class ACTalkerPipeline:
         reference's ``Inference.py:494``). Returns (expr (F, 512), rot (F, 3)).
         Requires 'vasa_expression' / 'vasa_pose' params (converted from the
         reference's MX31c checkpoint)."""
-        expr_fn = jax.jit(lambda x: self.m.vasa_expression.apply(
-            self.params["vasa_expression"], x))
-        pose_fn = jax.jit(lambda x: self.m.vasa_pose.apply(
-            self.params["vasa_pose"], x * 2.0 - 1.0))
+        expr_fn = self._jit("vasa_expression", chunk, lambda: jax.jit(
+            lambda x: self.m.vasa_expression.apply(
+                self.params["vasa_expression"], x)))
+        pose_fn = self._jit("vasa_pose", chunk, lambda: jax.jit(
+            lambda x: self.m.vasa_pose.apply(
+                self.params["vasa_pose"], x * 2.0 - 1.0)))
         exprs, rots = [], []
         n = face_crops.shape[0]
         for i in range(0, n, chunk):
@@ -146,12 +164,14 @@ class ACTalkerPipeline:
         if expr is None:
             tok = jnp.zeros((num_frames, 1, vasa_dim + 6), jnp.float32)
             return tok, jnp.zeros_like(tok)
-        proj = self.m.vasa_proj.apply(self.params["vasa_proj"], jnp.asarray(expr))
+        vproj = self._jit("vasa_proj", (), lambda: jax.jit(
+            lambda p, e: self.m.vasa_proj.apply(p, e)))
+        proj = vproj(self.params["vasa_proj"], jnp.asarray(expr))
         pose = jnp.concatenate(
             [jnp.asarray(rot), jnp.zeros_like(jnp.asarray(rot))], axis=-1
         )  # rot, trans*0
         cond = jnp.concatenate([proj, pose], axis=-1)[:, None, :]
-        unc = self.m.vasa_proj.apply(
+        unc = vproj(
             self.params["vasa_proj"], jnp.zeros_like(jnp.asarray(expr))
         )
         uncond = jnp.concatenate([unc, jnp.zeros_like(pose)], axis=-1)[:, None, :]
@@ -181,26 +201,30 @@ class ACTalkerPipeline:
 
         # VAE encodings (fp32, reference upcasts the VAE)
         ref = jnp.asarray(ref_image, jnp.float32)[None]
-        ref_latent = self.m.vae.apply(
-            self.params["vae"], ref, method=AutoencoderKLTemporalDecoder.encode
-        )[0] * self.m.vae.config.scaling_factor
+        vae_encode = self._jit("vae_encode", ref.shape, lambda: jax.jit(
+            lambda p, x: self.m.vae.apply(
+                p, x, method=AutoencoderKLTemporalDecoder.encode)))
+        ref_latent = vae_encode(self.params["vae"], ref)[0] \
+            * self.m.vae.config.scaling_factor
         key, k_aug = jax.random.split(key)
         ref_aug = ref + config.noise_aug_strength * jax.random.normal(
             k_aug, ref.shape
         )
-        image_latent = self.m.vae.apply(
-            self.params["vae"], ref_aug, method=AutoencoderKLTemporalDecoder.encode
-        )[0]  # unscaled (reference _encode_vae_image)
+        image_latent = vae_encode(self.params["vae"], ref_aug)[0]
+        # unscaled (reference _encode_vae_image)
 
         # identity tokens
-        id_tok = self.m.id_proj.apply(
+        id_tok = self._jit("id_proj", (), lambda: jax.jit(
+            lambda p, e: self.m.id_proj.apply(p, e)))(
             self.params["id_proj"], jnp.asarray(id_embed, jnp.float32)[None]
         )[None]  # (1, 1, 1024)
 
         # pose guider features over the buffer (pose images tiled mod F)
         pose_idx = np.arange(buf) % num_frames
         pose = jnp.asarray(pose_images, jnp.float32)[pose_idx][None]
-        pose_fea = self.m.pose_guider.apply(self.params["pose_guider"], pose)[0]
+        pose_fea = self._jit("pose_guider", pose.shape, lambda: jax.jit(
+            lambda p, x: self.m.pose_guider.apply(p, x)))(
+            self.params["pose_guider"], pose)[0]
 
         def pad_to_buf(cond, uncond):
             pad = jnp.broadcast_to(uncond[:1], (buf - cond.shape[0],) + cond.shape[1:])
@@ -227,12 +251,12 @@ class ACTalkerPipeline:
         )
 
         key, k_noise = jax.random.split(key)
-        run = jax.jit(
+        run = self._jit("sample", (config, num_frames), lambda: jax.jit(
             lambda p, bufs, ref, k: sample_video(
                 self.m.unet.apply, p, config, plan, bufs, ref, k,
                 dtype=self.dtype,
             )
-        )
+        ))
         latents = run(self.params["unet"], buffers, ref_latent, k_noise)
         return latents[:num_frames]
 
@@ -241,11 +265,11 @@ class ACTalkerPipeline:
         """(F, h, w, 4) -> (F, H, W, 3) float32 in [-1, 1], chunked."""
         scale = 1.0 / self.m.vae.config.scaling_factor
         frames = []
-        decode = jax.jit(
+        decode = self._jit("vae_decode", decode_chunk_size, lambda: jax.jit(
             lambda z: self.m.vae.apply(
                 self.params["vae"], z, method=AutoencoderKLTemporalDecoder.decode
             )
-        )
+        ))
         n = latents.shape[0]
         for i in range(0, n, decode_chunk_size):
             chunk = latents[i: i + decode_chunk_size] * scale

@@ -18,6 +18,16 @@ vs_baseline = (0.303 * 8) / measured_sec_per_step_on_one_v5e_chip.
 (One v5e has ~1/5 the bf16 FLOPs and ~1/4 the HBM bandwidth of an H100.)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``python bench.py --clip`` instead measures a FULL clip on the real chip —
+25-step generation at 512x512/14 frames through the production pipeline
+(`generate_latents`: VAE ref encode, PoseGuider, the whole-generation
+`lax.scan` loop with 4-way CFG and overlap averaging, then chunked VAE
+decode) — the end-to-end number the reference's "~6 min on H100"
+(README.md:39) speaks about, reported as sec/clip with the same 8-chip
+fair-share baseline (windows of one denoise step parallelize across chips;
+a 14-frame clip is a single window, so the whole clip rides one chip and
+the budget is 8x the per-H100 share).
 """
 import json
 import os
@@ -32,6 +42,61 @@ import numpy as np
 H100_SEC_PER_STEP = 0.303      # H100 reference, scaled to bench shape
 TARGET_CHIPS = 8               # BASELINE.md north star: v5e-8 vs one H100
 BASELINE_SEC_PER_STEP = H100_SEC_PER_STEP * TARGET_CHIPS
+# End-to-end H100 budget for the bench clip: 25 window-steps + VAE decode.
+# The reference's decode is ~4% of its wall clock (21-window clip, chunked
+# fp32 decode); per 14-frame clip that is ~0.5 s on H100.
+H100_SEC_PER_CLIP = H100_SEC_PER_STEP * 25 + 0.5
+BASELINE_SEC_PER_CLIP = H100_SEC_PER_CLIP * TARGET_CHIPS
+
+
+def main_clip():
+    import jax
+    import jax.numpy as jnp
+    from actalker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from actalker_tpu.io.init import cast_params_bf16, init_pipeline_params
+    from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
+    from actalker_tpu.pipeline.sampler import SamplerConfig
+
+    f, px = 14, 512
+    modules = PipelineModules.create(dtype=jnp.bfloat16)
+    params = cast_params_bf16(init_pipeline_params(
+        modules, jax.random.PRNGKey(0), image_size=(px, px),
+        latent_size=(px // 8, px // 8), use_eval_shape=True,
+    ))
+    pipe = ACTalkerPipeline(modules, params, dtype=jnp.bfloat16)
+    scfg = SamplerConfig(num_inference_steps=25, frames_per_batch=f)
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((px, px, 3)).astype(np.float32) * 0.2
+    id_embed = rng.standard_normal(512).astype(np.float32)
+    audio = rng.standard_normal((f, 32, 1024)).astype(np.float32)
+    vasa = rng.standard_normal((f, 1, 1024)).astype(np.float32)
+    pose = rng.random((f, px, px, 3)).astype(np.float32)
+
+    def run():
+        latents = pipe.generate_latents(
+            ref, id_embed, jnp.asarray(audio), jnp.zeros_like(audio),
+            jnp.asarray(vasa), jnp.zeros_like(vasa), pose, scfg, seed=0,
+        )
+        return pipe.decode_latents(latents, decode_chunk_size=10)
+
+    run()                                   # compile + warm everything
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        frames = run()                      # decode_latents host-syncs
+    dt = (time.time() - t0) / iters
+    assert frames.shape == (f, px, px, 3)
+
+    print(json.dumps({
+        "metric": "sec_per_clip_512px_14f_25steps",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SEC_PER_CLIP / dt, 3),
+        "min_per_clip": round(dt / 60, 4),
+    }))
 
 
 def main():
@@ -97,4 +162,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--clip" in sys.argv[1:]:
+        main_clip()
+    else:
+        main()
