@@ -5,9 +5,13 @@ formulas."""
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from actalker_tpu.models.yolox import (
     YoloXConfig, YoloXNet, YoloXPersonDetector, convert_yolox,
     decode_predictions, letterbox, multiclass_nms, nms_plus1)
+
+pytestmark = pytest.mark.slow  # compile/oracle-heavy: excluded from the fast tier
 
 
 def _build_torch_yolox(cfg):

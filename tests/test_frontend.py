@@ -8,6 +8,7 @@ from actalker_tpu.frontend import preprocess as P
 from actalker_tpu.training import data as D
 
 
+@pytest.mark.slow
 def test_log_mel_matches_hf_feature_extractor():
     from transformers import WhisperFeatureExtractor
 

@@ -3,6 +3,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from actalker_tpu.ops import scan_orders as SO
+import pytest
 
 
 def test_orders_are_permutations():
@@ -77,6 +78,7 @@ def test_metrics_emitter(tmp_path):
     assert "seconds" in json.loads(lines[1])
 
 
+@pytest.mark.slow
 def test_teeth_enhancer_matches_torch_oracle():
     """TeethEnhancer + convert_teeth vs a functional torch replay of the
     reference pnnx graph (enhance_teeth_pnnx.py forward 384-599) on random
@@ -230,6 +232,7 @@ def test_similarity_transform_recovers_rotation():
     np.testing.assert_allclose(got, dst, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_stylegan2_generator_runs():
     import jax
     from actalker_tpu.models.stylegan2 import GPENGenerator
@@ -261,6 +264,7 @@ def test_upfirdn2d_matches_manual():
                                1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_rife_interpolation_runs():
     import jax
     from actalker_tpu.models.rife import IFNet, interpolate_pairs
@@ -277,6 +281,7 @@ def test_rife_interpolation_runs():
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(frames[0]))
 
 
+@pytest.mark.slow
 def test_gpen_generator_matches_torch_oracle():
     """GPENGenerator + convert_bfr vs a functional torch replay of the
     reference FullGenerator_paper (model_enhance.py:778-872; isconcat=True)

@@ -22,6 +22,8 @@ from actalker_tpu.models.ssm import SS2DCondV10, SS2DUnit
 from actalker_tpu.models.transformer_st import TransformerSpatioTemporal
 from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
 
+pytestmark = pytest.mark.slow  # compile/oracle-heavy: excluded from the fast tier
+
 
 KEY = jax.random.PRNGKey(0)
 

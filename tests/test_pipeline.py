@@ -8,6 +8,9 @@ from actalker_tpu.models.vae import VAEConfig
 from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
 from actalker_tpu.pipeline.sampler import SamplerConfig
 from actalker_tpu.io.init import init_pipeline_params
+import pytest
+
+pytestmark = pytest.mark.slow  # compile/oracle-heavy: excluded from the fast tier
 
 
 def test_generate_tiny_clip():

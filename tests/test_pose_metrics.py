@@ -2,6 +2,9 @@
 import numpy as np
 
 from actalker_tpu.evaluation import pose_metrics as PM
+import pytest
+
+pytestmark = pytest.mark.slow  # compile/oracle-heavy: excluded from the fast tier
 
 
 def test_pose_metrics_identical_trajectories():

@@ -12,6 +12,8 @@ from actalker_tpu.models.scrfd import (
     ScrfdConfig, ScrfdDetector, ScrfdNet, anchor_centers, convert_scrfd,
     distance2bbox, distance2kps, resize_image_keep_ratio)
 
+pytestmark = pytest.mark.slow  # compile/oracle-heavy: excluded from the fast tier
+
 
 def _build_torch_scrfd(cfg):
     import torch

@@ -55,6 +55,7 @@ def test_matches_oracle(impl):
 
 
 @pytest.mark.parametrize("impl", ["assoc", "blocked"])
+@pytest.mark.slow
 def test_impls_agree_long(impl):
     rng = np.random.default_rng(1)
     u, delta, A, B, C, D, bias = make_inputs(rng, b=1, l=300, d=8, n=16, g=1)
@@ -145,6 +146,7 @@ class TestPallas:
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 class TestGrouped:
     """ssm_scan_grouped == four separate arranged scans (2 branches x 2 dirs)."""
 
@@ -200,6 +202,7 @@ class TestGrouped:
                 got[:, :, gi * dp:(gi + 1) * dp], want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 class TestPallasGrad:
     """custom_vjp: Pallas forward, XLA-twin backward."""
 
@@ -257,6 +260,7 @@ class TestPallasGrad:
                                        rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_arranged_grad_kernels_match_twin_interpret():
     """The boundary+adjoint kernel pair (used for backward on TPU) against
     the XLA twin's autodiff, in interpret mode, both scan directions."""

@@ -8,6 +8,8 @@ import torch.nn as tnn  # noqa: E402
 from actalker_tpu.io.weights import convert_senet50  # noqa: E402
 from actalker_tpu.models.senet import SENet50, preprocess_vggface2  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile/oracle-heavy: excluded from the fast tier
+
 
 class _SEModule(tnn.Module):
     def __init__(self, ch, reduction=16):

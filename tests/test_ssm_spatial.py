@@ -22,6 +22,8 @@ from actalker_tpu.models.ssm_spatial import (
 from actalker_tpu.ops.scan_orders import inverse_table, order_table
 from tests.test_selective_scan import numpy_oracle
 
+pytestmark = pytest.mark.slow  # compile/oracle-heavy: excluded from the fast tier
+
 
 def _np_silu(x):
     return x / (1 + np.exp(-x))

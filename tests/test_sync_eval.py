@@ -148,6 +148,7 @@ def test_crop_face_tube_shape_and_content():
     assert tube[0, 80, 112, 0] == 200
 
 
+@pytest.mark.slow
 def test_evaluate_video_synthetic_end_to_end():
     """The VERDICT done-criterion: a raw synthetic clip returns
     (offset, conf, dist) through detect -> scenes -> track -> tube -> towers

@@ -6,6 +6,8 @@ import pytest
 
 from actalker_tpu.io import weights as W
 
+pytestmark = pytest.mark.slow  # compile/oracle-heavy: excluded from the fast tier
+
 
 def test_whisper_encoder_parity_with_hf():
     """Full-module parity: random HF whisper-tiny encoder == our flax encoder

@@ -4,8 +4,12 @@ src/utils/face_align/yoloface.py:213-293)."""
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from actalker_tpu.models.yoloface import (
     YoloFaceConfig, YoloFaceDetector, YoloFaceNet, convert_yoloface, nms_xyxy)
+
+pytestmark = pytest.mark.slow  # compile/oracle-heavy: excluded from the fast tier
 
 _ANCHORS = (
     ((4, 5), (8, 10), (13, 16)),
