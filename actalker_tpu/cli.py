@@ -352,9 +352,20 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
 
     pose_imgs = np.repeat(pre.pose_img[None], num_frames, axis=0)
     scfg = cfg.sampler_config(gate)
+    # Region masks per mode (reference pipeline ``:702-711``): mode 2 runs
+    # mouth/exp masks, which Inference.py:545-546 overrides to all-ones;
+    # modes 0/1 gate the single active branch by the FACE box mask
+    # (``face_mask = pose_cond_tensor[0, :1, :1]``). The face-box mask also
+    # activates the SSM static-capacity gather path (the scan covers only
+    # the box fraction, like the reference's masked gather).
+    face_mask = None
+    if gate != (1, 1):
+        face_mask = pre.pose_img[None, None, :, :, 0].astype(np.float32)
     latents = pipe.generate_latents(
         pre.ref_img, id_embed, audio_tok, audio_unc,
         vasa_tok, vasa_unc, pose_imgs, scfg, seed=cfg.seed or 0,
+        audio_mask=face_mask if gate == (1, 0) else None,
+        exp_mask=face_mask if gate == (0, 1) else None,
     )
     frames = pipe.decode_latents(latents, cfg.decode_chunk_size)
     frames01 = np.clip(frames * 0.5 + 0.5, 0, 1)
@@ -408,6 +419,8 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
         latents = pipe.generate_latents(
             pre.ref_img, id_embed, audio_tok, audio_unc,
             vasa_tok, vasa_unc, pose_imgs, scfg, seed=new_cfg.seed or 0,
+            audio_mask=face_mask if gate == (1, 0) else None,
+            exp_mask=face_mask if gate == (0, 1) else None,
         )
         frames01 = np.clip(
             pipe.decode_latents(latents, new_cfg.decode_chunk_size) * 0.5 + 0.5,

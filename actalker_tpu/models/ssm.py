@@ -22,6 +22,18 @@ unselected tokens had been gathered away (see
 unselected positions are replaced by the branch's in_proj activations, which
 reproduces the reference's scatter semantics exactly.
 
+Static-capacity gather (``capacity_frac``): when the caller knows an upper
+bound on the masked-region fraction (the pipeline computes it host-side from
+the clip's region masks, which are constant over a generation), the block
+switches to the reference's gather/scatter formulation with a *static* token
+budget ``K = ceil(frac * L)`` per branch: active tokens are compacted to the
+front of a (K + n_tail)-row buffer via a cumsum slot assignment (no sort),
+scanned, and scattered back; slots past the active count are transparent.
+This recovers the reference's cost model — a zeroed branch (modes 0/1,
+``Inference.py:469-476``) scans only its id/cond tail, and a face-box mask
+scans the box fraction instead of the full frame — while staying a single
+compiled program per (frac-bucket) capacity.
+
 The scan itself runs on the Pallas kernel (``ops/selective_scan_pallas``) on
 TPU; tests use the pure-XLA blocked scan.
 """
@@ -227,6 +239,12 @@ class SS2DCondV10(nn.Module):
     use_audio: bool = True
     use_exp: bool = True
     no_scan: bool = False
+    # Static masked-token capacity fractions (audio, exp): frac < 1 switches
+    # the grouped path to gather/scatter with K = ceil(frac * L) token slots
+    # per branch (see module docstring). None => masked-dense full scan.
+    # CORRECTNESS CONTRACT: the true active-token count at every resolution
+    # must be <= K; overflow tokens are silently dropped from the scan.
+    capacity_frac: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -312,21 +330,25 @@ class SS2DCondV10(nn.Module):
                 sels.append(sel_of(mask))
             ntoks = [t.shape[1] for t in tails]
             ntok_max = max(ntoks)
-            lc = _pick_lc(64, l + ntok_max, d_inner, 128, x.dtype.itemsize)
-            lp = _round_up(l + ntok_max, lc)
 
-            x_a = jnp.moveaxis(x, 0, 1)                      # (l, b, c)
-            x_a = jnp.pad(x_a, ((0, lp - l), (0, bp - b), (0, 0)))
-            w_in = jnp.concatenate(kernels, axis=1).astype(self.dtype)
-            xz = jnp.einsum("lbc,cd->lbd", x_a.astype(self.dtype), w_in)
-            for bi, tail in enumerate(tails):                # token tails
-                t_a = jnp.moveaxis(tail, 0, 1).astype(xz.dtype)
-                t_a = jnp.pad(t_a, ((0, 0), (0, bp - b), (0, 0)))
-                xz = jax.lax.dynamic_update_slice(
-                    xz, t_a, (l, 0, bi * d_inner))
+            # static per-branch token capacities (gather path) — K < l flips
+            # the branch from masked-dense to compact gather/scatter
+            fracs = [None] * nb
+            if self.capacity_frac is not None:
+                by_name = {"1": self.capacity_frac[0],
+                           "2": self.capacity_frac[1]}
+                fracs = [by_name[br[0]] for br in branches]
+            caps = []
+            for (name, _, _, mask, _), fr in zip(branches, fracs):
+                if fr is None or mask is None:
+                    caps.append(l)
+                else:
+                    k = int(math.ceil(min(max(fr, 0.0), 1.0) * l))
+                    caps.append(min(l, _round_up(k, 8)) if k else 0)
+            use_gather = any(k < l for k in caps)
 
-            # packed slab [dts | B | C | inactivity] per (branch, dir) group
-            wss, dtws, a_gs, d_gs, b_gs, tms = [], [], [], [], [], []
+            # packed weight slabs [dts | B | C | inactivity] per group
+            wss, dtws, a_gs, d_gs, b_gs = [], [], [], [], []
             for bi, unit in enumerate(units):
                 xw, dtw, dtb, a_log, d_skip = unit.weights()
                 for k in range(2):
@@ -346,34 +368,112 @@ class SS2DCondV10(nn.Module):
                     d_gs.append(d_skip[k * d_inner:(k + 1) * d_inner]
                                 .astype(jnp.float32))
                     b_gs.append(dtb[k].astype(jnp.float32))
-                sel_a = jnp.moveaxis(sels[bi], 0, 1)
-                sel_a = jnp.pad(sel_a, ((0, 0), (0, bp - b)))
-                tms.append(jnp.concatenate([
-                    sel_a,
-                    jnp.ones((ntoks[bi], bp), bool),
-                    jnp.zeros((lp - l - ntoks[bi], bp), bool),
-                ], axis=0))                                  # (lp, bp)
             w_slab = jnp.concatenate(wss, axis=1)            # (nb*dI, G*128)
-            slab = jnp.einsum("lbd,dc->lbc", xz, w_slab)
-            inact = jnp.stack(
-                [(~t).astype(slab.dtype) for t in tms], axis=-1)
-            mask_mat = jnp.zeros((nb, 2 * nb * 128), slab.dtype)
+            w_in = jnp.concatenate(kernels, axis=1).astype(self.dtype)
+            mask_mat = jnp.zeros((nb, 2 * nb * 128), self.dtype)
             for bi in range(nb):
                 mask_mat = mask_mat.at[bi, 2 * bi * 128 + MASK_LANE].set(1.0)
                 mask_mat = mask_mat.at[
                     bi, (2 * bi + 1) * 128 + MASK_LANE].set(1.0)
-            slab = slab + jnp.einsum("lbn,nc->lbc", inact, mask_mat)
 
-            y_g = ssm_scan_grouped(
-                xz, slab, jnp.stack(dtws), jnp.stack(a_gs), jnp.stack(d_gs),
-                jnp.stack(b_gs), rank=rank, lc=lc)
-            outs = []
-            for bi in range(nb):
-                y_b = (y_g[:l, :, 2 * bi * d_inner:(2 * bi + 1) * d_inner]
-                       + y_g[:l, :, (2 * bi + 1) * d_inner:
-                             (2 * bi + 2) * d_inner]).astype(self.dtype)
-                xz_b = xz[:l, :, bi * d_inner:(bi + 1) * d_inner]
-                outs.append(jnp.where(tms[bi][:l, :, None], y_b, xz_b))
+            def tail_arranged(bi):
+                t_a = jnp.moveaxis(tails[bi], 0, 1).astype(self.dtype)
+                return jnp.pad(t_a, ((0, 0), (0, bp - b), (0, 0)))
+
+            if not use_gather:
+                lc = _pick_lc(64, l + ntok_max, d_inner, 128,
+                              x.dtype.itemsize)
+                lp = _round_up(l + ntok_max, lc)
+                x_a = jnp.moveaxis(x, 0, 1)                  # (l, b, c)
+                x_a = jnp.pad(x_a, ((0, lp - l), (0, bp - b), (0, 0)))
+                xz = jnp.einsum("lbc,cd->lbd", x_a.astype(self.dtype), w_in)
+                for bi in range(nb):                         # token tails
+                    xz = jax.lax.dynamic_update_slice(
+                        xz, tail_arranged(bi), (l, 0, bi * d_inner))
+                tms = []
+                for bi in range(nb):
+                    sel_a = jnp.moveaxis(sels[bi], 0, 1)
+                    sel_a = jnp.pad(sel_a, ((0, 0), (0, bp - b)))
+                    tms.append(jnp.concatenate([
+                        sel_a,
+                        jnp.ones((ntoks[bi], bp), bool),
+                        jnp.zeros((lp - l - ntoks[bi], bp), bool),
+                    ], axis=0))                              # (lp, bp)
+                slab = jnp.einsum("lbd,dc->lbc", xz, w_slab)
+                inact = jnp.stack(
+                    [(~t).astype(slab.dtype) for t in tms], axis=-1)
+                slab = slab + jnp.einsum("lbn,nc->lbc", inact, mask_mat)
+                y_g = ssm_scan_grouped(
+                    xz, slab, jnp.stack(dtws), jnp.stack(a_gs),
+                    jnp.stack(d_gs), jnp.stack(b_gs), rank=rank, lc=lc)
+                outs = []
+                for bi in range(nb):
+                    y_b = (y_g[:l, :, 2 * bi * d_inner:(2 * bi + 1) * d_inner]
+                           + y_g[:l, :, (2 * bi + 1) * d_inner:
+                                 (2 * bi + 2) * d_inner]).astype(self.dtype)
+                    xz_b = xz[:l, :, bi * d_inner:(bi + 1) * d_inner]
+                    outs.append(jnp.where(tms[bi][:l, :, None], y_b, xz_b))
+            else:
+                # gather path: compact active tokens to K_b slots per branch
+                lmax = max(k + t for k, t in zip(caps, ntoks))
+                lc = _pick_lc(64, lmax, d_inner, 128, x.dtype.itemsize)
+                lp = _round_up(lmax, lc)
+                x_a = jnp.moveaxis(x, 0, 1)                  # (l, b, c)
+                x_a = jnp.pad(x_a, ((0, 0), (0, bp - b), (0, 0)))
+                xz_full = jnp.einsum("lbc,cd->lbd",
+                                     x_a.astype(self.dtype), w_in)
+                cols = jnp.arange(bp, dtype=jnp.int32)[None, :]
+                u_rows, tms, scatters = [], [], []
+                for bi in range(nb):
+                    K, ntok = caps[bi], ntoks[bi]
+                    sel = sels[bi]                           # (b, l)
+                    # slot assignment: cumsum-compaction, stable in token
+                    # order (the reference's masked_select order,
+                    # mamba_layer.py:1962); overflow and inactive tokens
+                    # write slot K of a scratch column and are dropped.
+                    pos = jnp.cumsum(sel.astype(jnp.int32), axis=1) - 1
+                    slots = jnp.where(sel & (pos < K), pos, K)
+                    idxb = jnp.full((b, K + 1), l, jnp.int32)
+                    idxb = idxb.at[
+                        jnp.arange(b)[:, None], slots
+                    ].set(jnp.broadcast_to(
+                        jnp.arange(l, dtype=jnp.int32)[None], (b, l)),
+                        mode="drop")
+                    idx = idxb[:, :K]                        # (b, K)
+                    gact = jnp.pad((idx < l).T, ((0, 0), (0, bp - b)))
+                    idx_g = jnp.pad(jnp.minimum(idx, l - 1).T,
+                                    ((0, 0), (0, bp - b)))   # (K, bp)
+                    idx_s = jnp.pad(idx.T, ((0, 0), (0, bp - b)),
+                                    constant_values=l)
+                    xz_b = xz_full[:, :, bi * d_inner:(bi + 1) * d_inner]
+                    gath = jnp.take_along_axis(
+                        xz_b, idx_g[:, :, None], axis=0)     # (K, bp, dI)
+                    u_rows.append(jnp.concatenate([
+                        gath, tail_arranged(bi),
+                        jnp.zeros((lp - K - ntok, bp, d_inner), gath.dtype),
+                    ], axis=0))
+                    tms.append(jnp.concatenate([
+                        gact,
+                        jnp.ones((ntok, bp), bool),
+                        jnp.zeros((lp - K - ntok, bp), bool),
+                    ], axis=0))
+                    scatters.append((xz_b, gath, gact, idx_s, K))
+                u_g = jnp.concatenate(u_rows, axis=-1)       # (lp, bp, nb*dI)
+                slab = jnp.einsum("lbd,dc->lbc", u_g, w_slab)
+                inact = jnp.stack(
+                    [(~t).astype(slab.dtype) for t in tms], axis=-1)
+                slab = slab + jnp.einsum("lbn,nc->lbc", inact, mask_mat)
+                y_g = ssm_scan_grouped(
+                    u_g, slab, jnp.stack(dtws), jnp.stack(a_gs),
+                    jnp.stack(d_gs), jnp.stack(b_gs), rank=rank, lc=lc)
+                outs = []
+                for bi, (xz_b, gath, gact, idx_s, K) in enumerate(scatters):
+                    y_b = (y_g[:K, :, 2 * bi * d_inner:(2 * bi + 1) * d_inner]
+                           + y_g[:K, :, (2 * bi + 1) * d_inner:
+                                 (2 * bi + 2) * d_inner]).astype(self.dtype)
+                    upd = jnp.where(gact[:, :, None], y_b, gath)
+                    outs.append(xz_b.at[idx_s, cols].set(upd, mode="drop"))
+
             y = LayerNormF32(name="out_norm")(sum(outs))
             y = dense(self.d_model, use_bias=False, dtype=self.dtype,
                       name="out_proj")(y)

@@ -52,6 +52,9 @@ class TransformerSpatioTemporal(nn.Module):
     use_mamba: bool = False
     scan_impl: str = "pallas"
     ablate: Tuple[str, ...] = ()
+    # static masked-token capacity fractions (audio, exp) for the SSM gather
+    # path — see SS2DCondV10.capacity_frac
+    mask_capacity: Optional[Tuple[float, float]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -114,6 +117,7 @@ class TransformerSpatioTemporal(nn.Module):
                     use_id="id" not in self.ablate,
                     use_audio=use_audio, use_exp=use_vasa,
                     no_scan="ssd" in self.ablate,
+                    capacity_frac=self.mask_capacity,
                     dtype=self.dtype, name=f"mamba_{i}",
                 )(
                     h, cond.id_tokens, cond.audio_tokens, cond.vasa_tokens,

@@ -67,6 +67,10 @@ class UNetConfig:
     # UNet file copies, SURVEY.md section 2) as config: any subset of
     # {"audio", "vasa", "id", "ssd", "cross_attn"}.
     ablate: Tuple[str, ...] = ()
+    # Static masked-token capacity fractions (audio, exp) for the SSM gather
+    # path (SS2DCondV10.capacity_frac): computed host-side by the pipeline
+    # from the clip's region masks; None => masked-dense full scan.
+    mask_capacity: Optional[Tuple[float, float]] = None
 
     def tiny(self) -> "UNetConfig":
         """A scaled-down config for tests/smoke runs."""
@@ -163,6 +167,7 @@ class UNetSpatioTemporalCondition(nn.Module):
                     context_dim=cfg.cross_attention_dim,
                     add_downsample=not is_final, use_mamba=cfg.use_mamba,
                     scan_impl=cfg.scan_impl, ablate=cfg.ablate,
+                    mask_capacity=cfg.mask_capacity,
                     dtype=self.dtype, name=f"down_blocks_{i}",
                 )(h, emb, cond, image_only_indicator)
             else:
@@ -198,6 +203,7 @@ class UNetSpatioTemporalCondition(nn.Module):
                     context_dim=cfg.cross_attention_dim,
                     add_upsample=not is_final, use_mamba=cfg.use_mamba,
                     scan_impl=cfg.scan_impl, ablate=cfg.ablate,
+                    mask_capacity=cfg.mask_capacity,
                     dtype=self.dtype, name=f"up_blocks_{i}",
                 )(h, list(states_i), emb, cond, image_only_indicator)
             else:

@@ -63,6 +63,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     use_mamba: bool = True
     scan_impl: str = "pallas"
     ablate: tuple = ()
+    mask_capacity: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,7 +77,8 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
                 self.heads, self.out_channels // self.heads,
                 context_dim=self.context_dim, num_layers=self.transformer_layers,
                 use_mamba=self.use_mamba, scan_impl=self.scan_impl,
-                ablate=self.ablate, dtype=self.dtype, name=f"attention_{i}",
+                ablate=self.ablate, mask_capacity=self.mask_capacity,
+                dtype=self.dtype, name=f"attention_{i}",
             )(x, cond, image_only_indicator)
             states.append(x)
         if self.add_downsample:
@@ -139,6 +141,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     use_mamba: bool = True
     scan_impl: str = "pallas"
     ablate: tuple = ()
+    mask_capacity: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -153,7 +156,8 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
                 self.heads, self.out_channels // self.heads,
                 context_dim=self.context_dim, num_layers=self.transformer_layers,
                 use_mamba=self.use_mamba, scan_impl=self.scan_impl,
-                ablate=self.ablate, dtype=self.dtype, name=f"attention_{i}",
+                ablate=self.ablate, mask_capacity=self.mask_capacity,
+                dtype=self.dtype, name=f"attention_{i}",
             )(x, cond, image_only_indicator)
         if self.add_upsample:
             x = _spatial(x, Upsample2D(self.out_channels, dtype=self.dtype,

@@ -59,3 +59,79 @@ def torch_bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     ww = jnp.asarray(_bicubic_matrix(wdim, out_w))
     y = jnp.einsum("oh,...hw->...ow", wh, x.astype(jnp.float32))
     return jnp.einsum("pw,...ow->...op", ww, y)
+
+
+@functools.lru_cache(maxsize=256)
+def _bicubic_matrix_ac(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) matrix matching torch bicubic align_corners=True:
+    source coordinate i * (n_in - 1) / (n_out - 1), edge-clamped taps."""
+    scale = (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+    w = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        center = i * scale
+        i0 = math.floor(center)
+        for k, wk in enumerate(_cubic_weights(center - i0)):
+            w[i, min(max(i0 - 1 + k, 0), n_in - 1)] += wk
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=256)
+def _gaussian_blur_matrix(n: int, ks: int, sigma: float) -> np.ndarray:
+    """(n, n) matrix applying the reference's 1-D gaussian blur along an axis
+    (kernel ``exp(-x^2 / 2 sigma^2)`` at integer offsets from ``ks // 2``,
+    normalized; reflect padding), matching ``_gaussian`` + ``_filter2d`` in
+    the reference pipeline (``pipeline_..._vasa_two_ip.py:831-883``)."""
+    x = np.arange(ks, dtype=np.float64) - ks // 2
+    if ks % 2 == 0:
+        x = x + 0.5
+    g = np.exp(-x**2 / (2.0 * sigma**2))
+    g = g / g.sum()
+    pad_front = (ks - 1) // 2
+    w = np.zeros((n, n), np.float64)
+    for i in range(n):
+        for k in range(ks):
+            # torch reflect pad: index -j maps to j, n-1+j maps to n-1-j
+            j = i - pad_front + k
+            if j < 0:
+                j = -j
+            elif j >= n:
+                j = 2 * (n - 1) - j
+            w[i, j] += g[k]
+    return w.astype(np.float32)
+
+
+def resize_with_antialiasing(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Gaussian-prefiltered bicubic resize of the last two axes.
+
+    Parity with the reference pipeline's ``_resize_with_antialiasing``
+    (``pipeline_svd_audio_adapter_motionexp_idembed_vasa_two_ip.py:779-805``):
+    skimage-style sigma ``max((in/out - 1) / 2, 0.001)`` per axis, kernel size
+    ``max(4 * sigma, 3)`` forced odd (height only gets the +1 when even, as in
+    the reference), separable gaussian blur with reflect padding, then bicubic
+    interpolation with ``align_corners=True``. Used by the SVD lineage for
+    CLIP-size (224) resize of the reference image; the production two_ip
+    pipeline replaces CLIP with the ArcFace id-embedding so this sits on the
+    compat path. Computes in fp32; static shapes (matrices built in numpy).
+    """
+    h, wdim = x.shape[-2], x.shape[-1]
+    sig_h = max((h / out_h - 1.0) / 2.0, 0.001)
+    sig_w = max((wdim / out_w - 1.0) / 2.0, 0.001)
+    ks_h = int(max(4.0 * sig_h, 3))
+    ks_w = int(max(4.0 * sig_w, 3))
+    # the reference's odd-forcing quirk: an even ks_h bumps only ks_h, an even
+    # ks_w bumps only ks_w (two independent ifs on the tuple)
+    if ks_h % 2 == 0:
+        ks_h += 1
+    if ks_w % 2 == 0:
+        ks_w += 1
+    bh = jnp.asarray(_gaussian_blur_matrix(h, ks_h, sig_h))
+    bw = jnp.asarray(_gaussian_blur_matrix(wdim, ks_w, sig_w))
+    y = x.astype(jnp.float32)
+    # reference blurs x (width) first, then y (height); separable so order
+    # only matters for rounding
+    y = jnp.einsum("pw,...hw->...hp", bw, y)
+    y = jnp.einsum("oh,...hp->...op", bh, y)
+    wh = jnp.asarray(_bicubic_matrix_ac(h, out_h))
+    ww = jnp.asarray(_bicubic_matrix_ac(wdim, out_w))
+    y = jnp.einsum("oh,...hw->...ow", wh, y)
+    return jnp.einsum("pw,...ow->...op", ww, y)

@@ -13,8 +13,11 @@ Conditioning buffer semantics follow the reference exactly
     the unconditional tokens (reference pads with ``uncond[:1]``);
   * vasa token = [vasa_linear(expr), rot, 0*trans] -> 1024-d; uncond =
     vasa_linear(zeros) padded with zero pose dims;
-  * masks: all-ones at inference (the reference overrides them,
-    ``Inference.py:545-546``); region gating happens via the gate table.
+  * masks: all-ones in mode 2 (the reference overrides mouth/exp masks,
+    ``Inference.py:545-546``); modes 0/1 gate the single active branch by
+    the face box mask (pipeline ``:702-711``). The gate table zeroes the
+    inactive branch, and ``_capacity_fracs`` turns the box fraction into a
+    static SSM scan budget (gather path).
 """
 from __future__ import annotations
 
@@ -179,6 +182,49 @@ class ACTalkerPipeline:
 
     # ---------- main generation ----------
 
+    def _capacity_fracs(self, config, audio_mask, exp_mask, latent_hw):
+        """Host-side static SSM token budgets (SS2DCondV10.capacity_frac).
+
+        Mirrors the sampler's gate table (mode 0/1 zero one branch,
+        ``Inference.py:469-476`` / pipeline ``:702-711``) and measures the
+        exact active-token fraction of each region mask at every mamba
+        resolution with the same ``downsample_ip_mask`` the block uses, so
+        the static capacity is a true upper bound. Fractions are bucketed up
+        to 1/16 to bound the number of jit traces; returns None (masked-dense
+        full scan) when the shared scan buffer would not actually shrink —
+        the grouped kernel walks max-over-branches rows, so gather only pays
+        when BOTH branch budgets are small (mode 2's all-ones masks stay
+        dense, matching the reference's cost there).
+        """
+        from actalker_tpu.models.attention_blocks import downsample_ip_mask
+
+        ga, gv = config.gate
+        h8, w8 = latent_hw
+
+        def frac_of(mask_np, gate_on):
+            if not gate_on:
+                return 0.0
+            if mask_np is None:
+                return 1.0
+            m = np.asarray(mask_np, np.float32)
+            if m.min() >= 1.0 - 1e-6:
+                return 1.0
+            worst = 0.0
+            for s in (1, 2, 4):
+                l = (h8 // s) * (w8 // s)
+                sel = np.asarray(
+                    downsample_ip_mask(jnp.asarray(m), l)[..., 0]
+                ) >= 1.0 - 1e-6
+                worst = max(worst, float(sel.sum(axis=-1).max()) / l)
+            return worst
+
+        import math as _math
+        fa = min(1.0, _math.ceil(frac_of(audio_mask, ga) * 16) / 16)
+        fe = min(1.0, _math.ceil(frac_of(exp_mask, gv) * 16) / 16)
+        if max(fa, fe) > 0.75:
+            return None
+        return (fa, fe)
+
     def generate_latents(
         self,
         ref_image: np.ndarray,            # (H, W, 3) in [-1, 1]
@@ -250,10 +296,18 @@ class ACTalkerPipeline:
             exp_mask=jnp.asarray(exp_mask if exp_mask is not None else ones),
         )
 
+        caps = self._capacity_fracs(
+            config, audio_mask, exp_mask, (hm // 8, wm // 8))
+        unet = self.m.unet
+        if caps is not None:
+            unet = dataclasses.replace(
+                unet, config=dataclasses.replace(
+                    unet.config, mask_capacity=caps))
+
         key, k_noise = jax.random.split(key)
-        run = self._jit("sample", (config, num_frames), lambda: jax.jit(
+        run = self._jit("sample", (config, num_frames, caps), lambda: jax.jit(
             lambda p, bufs, ref, k: sample_video(
-                self.m.unet.apply, p, config, plan, bufs, ref, k,
+                unet.apply, p, config, plan, bufs, ref, k,
                 dtype=self.dtype,
             )
         ))

@@ -307,6 +307,51 @@ def test_torch_bicubic_resize_matches_torch():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_resize_with_antialiasing_matches_torch():
+    """Gaussian-prefilter + align_corners bicubic must match the reference
+    pipeline's `_resize_with_antialiasing` (gaussian blur with reflect pad,
+    then F.interpolate(align_corners=True)) — exercised at the CLIP-size 224
+    downscale of the SVD lineage."""
+    torch = pytest.importorskip("torch")
+    from actalker_tpu.ops.resize import resize_with_antialiasing
+
+    rng = np.random.default_rng(3)
+    for (h, w, oh, ow) in [(512, 512, 224, 224), (320, 448, 224, 224),
+                           (96, 96, 224, 224)]:
+        x = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+        # oracle: same semantics via torch library calls
+        sig = (max((h / oh - 1) / 2, 0.001), max((w / ow - 1) / 2, 0.001))
+        ks = [int(max(4 * sig[0], 3)), int(max(4 * sig[1], 3))]
+        for i in range(2):
+            if ks[i] % 2 == 0:
+                ks[i] += 1
+
+        def g1d(n, s):
+            t = torch.arange(n, dtype=torch.float64) - n // 2
+            if n % 2 == 0:
+                t = t + 0.5
+            g = torch.exp(-t**2 / (2 * s * s))
+            return (g / g.sum()).float()
+
+        xt = torch.from_numpy(x)
+        pw = (ks[1] - 1) // 2
+        xt = torch.nn.functional.pad(
+            xt, (pw, ks[1] - 1 - pw, 0, 0), mode="reflect")
+        xt = torch.nn.functional.conv2d(
+            xt, g1d(ks[1], sig[1]).view(1, 1, 1, -1).expand(3, 1, 1, ks[1]),
+            groups=3)
+        ph = (ks[0] - 1) // 2
+        xt = torch.nn.functional.pad(
+            xt, (0, 0, ph, ks[0] - 1 - ph), mode="reflect")
+        xt = torch.nn.functional.conv2d(
+            xt, g1d(ks[0], sig[0]).view(1, 1, -1, 1).expand(3, 1, ks[0], 1),
+            groups=3)
+        want = torch.nn.functional.interpolate(
+            xt, size=(oh, ow), mode="bicubic", align_corners=True).numpy()
+        got = np.asarray(resize_with_antialiasing(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_ssm_unit_pallas_path_matches_blocked():
     """The arranged pallas fast path must equal the legacy blocked path."""
     b, l, d = 2, 20, 8
@@ -342,6 +387,60 @@ def test_ss2d_cond_v10_pallas_fast_path_matches_blocked():
     y_p = blk_p.apply(params, x, id_emb, audio, exp, mask, mask)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_b), rtol=3e-4,
                                atol=3e-4)
+
+
+@pytest.mark.parametrize("fracs", [
+    (0.6, 0.6),    # both branches gathered with slack capacity
+    (0.0, 0.6),    # zeroed-out audio branch (mode-1 shape): tail-only scan
+    (1.0, 0.5),    # mixed: one dense-capacity, one gathered
+])
+def test_ss2d_cond_v10_gather_path_matches_dense(fracs):
+    """The static-capacity gather/scatter path must reproduce the
+    masked-dense scan exactly (same active tokens, same order — the
+    reference's masked_select semantics, mamba_layer.py:1955-1985)."""
+    b, l, c, dc = 2, 64, 64, 12  # d_inner = 128 -> grouped path
+    x = jax.random.normal(KEY, (b, l, c))
+    id_emb = jax.random.normal(KEY, (b, 1, dc))
+    audio = jax.random.normal(KEY, (b, 4, dc))
+    exp = jax.random.normal(KEY, (b, 1, dc))
+    amask = np.zeros((1, 1, 8, 8), np.float32)
+    amask[:, :, 5:8, 1:7] = 1.0            # "mouth": lower rows
+    emask = np.zeros((1, 1, 8, 8), np.float32)
+    emask[:, :, 1:5, 1:7] = 1.0            # "exp": upper face
+    if fracs[0] == 0.0:
+        amask[:] = 0.0
+    amask, emask = jnp.asarray(amask), jnp.asarray(emask)
+    dense_blk = SS2DCondV10(d_model=c, d_cond=dc, d_state=4,
+                            scan_impl="pallas")
+    params = dense_blk.init(KEY, x, id_emb, audio, exp, amask, emask)
+    y_dense = dense_blk.apply(params, x, id_emb, audio, exp, amask, emask)
+    gather_blk = SS2DCondV10(d_model=c, d_cond=dc, d_state=4,
+                             scan_impl="pallas", capacity_frac=fracs)
+    y_gather = gather_blk.apply(params, x, id_emb, audio, exp, amask, emask)
+    np.testing.assert_allclose(np.asarray(y_gather), np.asarray(y_dense),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_ss2d_gather_capacity_overflow_drops_tail_tokens():
+    """Documented overflow contract: active tokens past the static capacity
+    are dropped from the scan (their output falls back to in_proj
+    passthrough); everything before the capacity still matches dense."""
+    b, l, c, dc = 1, 64, 64, 12
+    x = jax.random.normal(KEY, (b, l, c))
+    id_emb = jax.random.normal(KEY, (b, 1, dc))
+    audio = jax.random.normal(KEY, (b, 4, dc))
+    exp = jax.random.normal(KEY, (b, 1, dc))
+    ones = jnp.ones((1, 1, 8, 8))
+    dense_blk = SS2DCondV10(d_model=c, d_cond=dc, d_state=4,
+                            scan_impl="pallas")
+    params = dense_blk.init(KEY, x, id_emb, audio, exp, ones, ones)
+    # all 64 tokens active but capacity 8: the block must still run and
+    # produce finite output of the right shape
+    gather_blk = SS2DCondV10(d_model=c, d_cond=dc, d_state=4,
+                             scan_impl="pallas", capacity_frac=(0.125, 0.125))
+    y = gather_blk.apply(params, x, id_emb, audio, exp, ones, ones)
+    assert y.shape == (b, l, c)
+    assert np.isfinite(np.asarray(y)).all()
 
 
 @pytest.mark.parametrize("ablate", [

@@ -51,6 +51,54 @@ def test_generate_tiny_clip():
     assert np.isfinite(frames).all()
 
 
+def test_generate_latents_gather_capacity_matches_dense():
+    """Mode-1 generation (zeroed audio branch + box exp mask) through the
+    static-capacity SSM gather path must match the masked-dense scan — this
+    exercises the host-side capacity computation (`_capacity_fracs`), the
+    module rebuild, and the jit-cache keying end to end."""
+    import dataclasses
+
+    h = w = 64  # latents 8x8 -> 64 tokens; 64ch => d_inner=128 grouped path
+    ucfg = dataclasses.replace(
+        UNetConfig(scan_impl="pallas").micro(),
+        block_out_channels=(64, 64), num_attention_heads=(2, 4),
+    )
+    modules = PipelineModules.create(
+        unet_config=ucfg, vae_config=VAEConfig().tiny(), dtype=jnp.float32)
+    params = init_pipeline_params(
+        modules, jax.random.PRNGKey(0), image_size=(h, w), latent_size=(8, 8),
+        use_eval_shape=True,
+    )
+    pipe = ACTalkerPipeline(modules, params, dtype=jnp.float32)
+
+    num_frames = 2
+    cfg = SamplerConfig(num_inference_steps=1, frames_per_batch=2, overlap=0,
+                        shift_offset=1, gate=(0, 1))
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(-1, 1, (h, w, 3)).astype(np.float32)
+    idv = rng.standard_normal(512).astype(np.float32)
+    audio = jnp.asarray(
+        rng.standard_normal((num_frames, 32, 1024)).astype(np.float32))
+    vasa = jnp.asarray(
+        rng.standard_normal((num_frames, 1, 1024)).astype(np.float32))
+    pose = rng.uniform(0, 1, (num_frames, h, w, 3)).astype(np.float32)
+    exp_mask = np.zeros((1, 1, h, w), np.float32)
+    exp_mask[:, :, 8:40, 8:56] = 1.0  # face box
+
+    args = (ref, idv, audio, jnp.zeros_like(audio), vasa,
+            jnp.zeros_like(vasa), pose, cfg)
+    caps = pipe._capacity_fracs(cfg, None, exp_mask, (8, 8))
+    assert caps is not None and caps[0] == 0.0 and 0.0 < caps[1] <= 0.75
+
+    lat_gather = np.asarray(pipe.generate_latents(
+        *args, seed=1, exp_mask=exp_mask))
+    pipe_dense = ACTalkerPipeline(modules, params, dtype=jnp.float32)
+    pipe_dense._capacity_fracs = lambda *a, **k: None
+    lat_dense = np.asarray(pipe_dense.generate_latents(
+        *args, seed=1, exp_mask=exp_mask))
+    np.testing.assert_allclose(lat_gather, lat_dense, rtol=2e-4, atol=2e-4)
+
+
 def test_audio_token_windows():
     modules = PipelineModules.create(
         unet_config=UNetConfig(scan_impl="blocked").tiny(),
