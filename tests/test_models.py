@@ -421,6 +421,41 @@ def test_ss2d_cond_v10_gather_path_matches_dense(fracs):
                                rtol=3e-4, atol=3e-4)
 
 
+def test_ss2d_gather_path_gradients_match_dense():
+    """Gradients through the gather/scatter formulation (XLA gather + the
+    scan's custom_vjp) must match the masked-dense path so trainers can use
+    static capacities too."""
+    b, l, c, dc = 1, 32, 64, 12
+    x = jax.random.normal(KEY, (b, l, c))
+    id_emb = jax.random.normal(KEY, (b, 1, dc))
+    audio = jax.random.normal(KEY, (b, 4, dc))
+    exp = jax.random.normal(KEY, (b, 1, dc))
+    amask = np.zeros((1, 1, 8, 8), np.float32)
+    amask[:, :, 4:8, :] = 1.0
+    emask = np.zeros((1, 1, 8, 8), np.float32)
+    emask[:, :, 0:4, :] = 1.0
+    amask, emask = jnp.asarray(amask), jnp.asarray(emask)
+    dense_blk = SS2DCondV10(d_model=c, d_cond=dc, d_state=4,
+                            scan_impl="pallas")
+    params = dense_blk.init(KEY, x, id_emb, audio, exp, amask, emask)
+    gather_blk = SS2DCondV10(d_model=c, d_cond=dc, d_state=4,
+                             scan_impl="pallas", capacity_frac=(0.6, 0.6))
+
+    def loss(blk):
+        def f(p, xx):
+            y = blk.apply(p, xx, id_emb, audio, exp, amask, emask)
+            return jnp.sum(y * y)
+        return f
+
+    g_dense = jax.grad(loss(dense_blk), argnums=(0, 1))(params, x)
+    g_gather = jax.grad(loss(gather_blk), argnums=(0, 1))(params, x)
+    flat_d = jax.tree.leaves(g_dense)
+    flat_g = jax.tree.leaves(g_gather)
+    for a, bb in zip(flat_d, flat_g):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_ss2d_gather_capacity_overflow_drops_tail_tokens():
     """Documented overflow contract: active tokens past the static capacity
     are dropped from the scan (their output falls back to in_proj
