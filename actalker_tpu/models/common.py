@@ -17,6 +17,35 @@ import jax.numpy as jnp
 
 Dtype = Any
 
+# Normalization statistics lowering: "reduce" = jnp.mean (VPU reduce),
+# "matmul" = ones-vector einsum with f32 accumulation, which XLA routes to
+# the MXU — the profiled VPU reduces on bench shapes report 3-9 ms per norm
+# (~60x over bandwidth cost) and are a top-3 step cost. Flip globally with
+# set_norm_stats_impl(); traces pick the value up at trace time.
+_NORM_STATS_IMPL = "reduce"
+
+
+def set_norm_stats_impl(impl: str) -> None:
+    global _NORM_STATS_IMPL
+    assert impl in ("reduce", "matmul"), impl
+    _NORM_STATS_IMPL = impl
+
+
+def _moments_lastaxis(x, impl):
+    """fp32 (mean, mean-of-squares) over the channel (last) axis."""
+    if impl == "matmul":
+        c = x.shape[-1]
+        ones = jnp.ones((c,), x.dtype)
+        s1 = jnp.einsum("...c,c->...", x, ones,
+                        preferred_element_type=jnp.float32)[..., None] / c
+        s2 = jnp.einsum("...c,...c,c->...", x, x, ones,
+                        preferred_element_type=jnp.float32)[..., None] / c
+        return s1, s2
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+    return mean, mean2
+
 
 class GroupNorm32(nn.Module):
     """GroupNorm over the channel-last axis with fp32 statistics regardless of
@@ -41,8 +70,16 @@ class GroupNorm32(nn.Module):
         # C//groups — e.g. 10 — on the lane dim: pathological tiling). Two
         # channel-wise fp32 reductions, then a tiny per-group average, then
         # one fused per-channel affine. No fp32 copy of x ever hits HBM.
-        s1 = jnp.mean(x, axis=red_axes, dtype=jnp.float32)            # (N, C)
-        s2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=red_axes)
+        if _NORM_STATS_IMPL == "matmul":
+            xf = x.reshape(n, -1, c)
+            ones = jnp.ones((xf.shape[1],), x.dtype)
+            s1 = jnp.einsum("nsc,s->nc", xf, ones,
+                            preferred_element_type=jnp.float32) / xf.shape[1]
+            s2 = jnp.einsum("nsc,nsc,s->nc", xf, xf, ones,
+                            preferred_element_type=jnp.float32) / xf.shape[1]
+        else:
+            s1 = jnp.mean(x, axis=red_axes, dtype=jnp.float32)        # (N, C)
+            s2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=red_axes)
         mean_g = s1.reshape(n, groups, c // groups).mean(axis=2)      # (N, G)
         mean2_g = s2.reshape(n, groups, c // groups).mean(axis=2)
         var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
@@ -71,9 +108,7 @@ class LayerNormF32(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-        mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
-                         keepdims=True)
+        mean, mean2 = _moments_lastaxis(x, _NORM_STATS_IMPL)
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         a = jax.lax.rsqrt(var + self.epsilon) * scale
         b = bias - mean * a

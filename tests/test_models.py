@@ -174,6 +174,29 @@ def test_norm_bf16_affine_error_bounded():
         assert np.sqrt((err ** 2).mean()) < 0.5, (type(m).__name__,)
 
 
+def test_norm_matmul_stats_match_reduce():
+    """The MXU-routed (ones-einsum) statistics lowering must match the VPU
+    reduce lowering within bf16 activation noise, in both norms and both
+    dtypes (`set_norm_stats_impl`, models/common.py)."""
+    from actalker_tpu.models.common import (
+        GroupNorm32, LayerNormF32, set_norm_stats_impl)
+
+    rng = np.random.default_rng(5)
+    x32 = (0.3 + rng.standard_normal((3, 8, 8, 64))).astype(np.float32)
+    try:
+        for m in (GroupNorm32(num_groups=8), LayerNormF32()):
+            params = m.init(KEY, jnp.asarray(x32))
+            for dt, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 0.05)):
+                xin = jnp.asarray(x32, dt)
+                set_norm_stats_impl("reduce")
+                want = np.asarray(m.apply(params, xin), np.float32)
+                set_norm_stats_impl("matmul")
+                got = np.asarray(m.apply(params, xin), np.float32)
+                np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+    finally:
+        set_norm_stats_impl("reduce")
+
+
 def test_resnet_block_shapes():
     x = jax.random.normal(KEY, (4, 8, 8, 16))
     temb = jax.random.normal(KEY, (4, 24))
