@@ -21,8 +21,12 @@ Dtype = Any
 # "matmul" = ones-vector einsum with f32 accumulation, which XLA routes to
 # the MXU — the profiled VPU reduces on bench shapes report 3-9 ms per norm
 # (~60x over bandwidth cost) and are a top-3 step cost. Flip globally with
-# set_norm_stats_impl(); traces pick the value up at trace time.
-_NORM_STATS_IMPL = "reduce"
+# set_norm_stats_impl() or the ACTALKER_NORM_STATS env var; traces pick the
+# value up at trace time.
+import os as _os
+
+_NORM_STATS_IMPL = _os.environ.get("ACTALKER_NORM_STATS", "reduce")
+assert _NORM_STATS_IMPL in ("reduce", "matmul"), _NORM_STATS_IMPL
 
 
 def set_norm_stats_impl(impl: str) -> None:
