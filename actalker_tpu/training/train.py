@@ -46,7 +46,7 @@ def synthetic_batches(batch_size: int, frames: int, latent_hw: int,
 
 
 def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
-                 dtype) -> Iterator:
+                 dtype, num_workers: int = 4) -> Iterator:
     """Metadata-driven training batches: dataset -> encoders -> TrainBatch.
 
     Encoder weights (VAE / pose guider / id proj) come from configured
@@ -86,11 +86,13 @@ def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
                    deterministic_shape=batch_size > 1),
         frame_reader,
     )
-    i = 0
-    while True:
-        samples = [ds[(i + j) % len(ds)] for j in range(batch_size)]
-        i += batch_size
-        yield builder(samples)
+    from actalker_tpu.training.loader import prefetch_batches
+
+    # per-sample decode runs on loader threads (native libav/cv2 release the
+    # GIL); the builder's device-side encoders run on the consumer thread so
+    # device dispatch order stays serialized with the train step
+    yield from prefetch_batches(ds, batch_size, builder,
+                                num_workers=num_workers)
 
 
 def main(argv=None):
@@ -215,7 +217,8 @@ def main(argv=None):
             batches = synthetic_batches(batch_size, frames, latent_hw, c0)
         elif args.metadata:
             batches = real_batches(
-                args.metadata, batch_size, frames, image_size, ucfg, dtype)
+                args.metadata, batch_size, frames, image_size, ucfg, dtype,
+                num_workers=int(data_cfg.get("num_workers", 4)))
         else:
             raise SystemExit(
                 "provide --metadata clip JSONs (real data) or --synthetic N "
