@@ -90,11 +90,37 @@ def shard_params(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def shard_batch(tree: Any, mesh: Mesh) -> Any:
-    """Shard leading axis of every array over dp (replicate scalars)."""
+def shard_batch(tree: Any, mesh: Mesh,
+                global_batch: Optional[int] = None) -> Any:
+    """Shard leading axis of every array over dp (replicate scalars).
+
+    Single-process (``global_batch=None``): plain ``device_put`` onto the
+    mesh; a leaf is batched iff its leading axis divides dp.
+
+    Multi-host (pod) runs pass the GLOBAL batch size: every leaf is this
+    host's LOCAL slice of the global batch (the loader's ``start``/
+    ``stride`` contract — local rows = global_batch / process_count) and
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data``, so no sample ever crosses
+    DCN through a host. A leaf is batched iff its local leading axis is
+    exactly the local batch; everything else (masks, scalars) is
+    replicated and must hold the same value on every host.
+    """
+    nproc = jax.process_count()
 
     def assign(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.shape["dp"] == 0:
+        if global_batch is not None and nproc > 1:
+            local = global_batch // nproc
+            batched = (hasattr(x, "ndim") and x.ndim >= 1
+                       and x.shape[0] == local
+                       and global_batch % mesh.shape["dp"] == 0)
+            spec = (P("dp", *([None] * (x.ndim - 1)))
+                    if batched else P())
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), np.asarray(x)
+            )
+        if (hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] % mesh.shape["dp"] == 0):
             return jax.device_put(
                 x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
             )

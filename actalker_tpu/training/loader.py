@@ -28,6 +28,7 @@ def prefetch_batches(
     depth: int = 2,
     start: int = 0,
     num_batches: Optional[int] = None,
+    stride: Optional[int] = None,
 ) -> Iterator[Any]:
     """Yield ``collate([dataset[i] ...])`` batches with ``depth`` batches of
     per-sample work in flight on ``num_workers`` threads.
@@ -36,11 +37,18 @@ def prefetch_batches(
     e.g. the VAE batch encoder — which must not race the train step's
     dispatch order). ``num_workers=0`` degrades to fully synchronous
     iteration with identical output.
+
+    ``stride`` is the index distance between consecutive batches (default
+    ``batch_size``). Multi-host data parallelism sets ``stride`` to the
+    GLOBAL batch size and ``start`` to this host's offset within it, so
+    host p of P yields samples ``[i*G + p*L, i*G + (p+1)*L)`` of global
+    batch i — disjoint across hosts, contiguous when concatenated.
     """
     n = len(dataset)
+    step = batch_size if stride is None else stride
 
     def idxs_of(bi: int) -> list:
-        return [(start + bi * batch_size + j) % n for j in range(batch_size)]
+        return [(start + bi * step + j) % n for j in range(batch_size)]
 
     if num_workers <= 0:
         bi = 0

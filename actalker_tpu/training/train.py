@@ -46,7 +46,8 @@ def synthetic_batches(batch_size: int, frames: int, latent_hw: int,
 
 
 def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
-                 dtype, num_workers: int = 4) -> Iterator:
+                 dtype, num_workers: int = 4, start: int = 0,
+                 stride=None) -> Iterator:
     """Metadata-driven training batches: dataset -> encoders -> TrainBatch.
 
     Encoder weights (VAE / pose guider / id proj) come from configured
@@ -92,7 +93,8 @@ def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
     # GIL); the builder's device-side encoders run on the consumer thread so
     # device dispatch order stays serialized with the train step
     yield from prefetch_batches(ds, batch_size, builder,
-                                num_workers=num_workers)
+                                num_workers=num_workers, start=start,
+                                stride=stride)
 
 
 def main(argv=None):
@@ -108,6 +110,13 @@ def main(argv=None):
     parser.add_argument("--dp", type=int, default=None)
     parser.add_argument("--tp", type=int, default=1)
     args = parser.parse_args(argv)
+
+    # multi-host (pod) wiring must precede any backend use; a no-op on a
+    # single host. Each host then loads only its slice of the global batch
+    # and shard_batch assembles the global array from process-local data.
+    from actalker_tpu.parallel.distributed import init_distributed
+
+    multihost = init_distributed()
 
     import yaml
 
@@ -139,7 +148,14 @@ def main(argv=None):
         noise_offset=float(cfg.get("noise_offset", 0.05)),
     )
     frames = int(data_cfg.get("n_sample_frames", 25))
+    # train_bs is the GLOBAL batch size (reference semantics: bs/GPU x 8
+    # GPUs); each host materializes only its local slice.
     batch_size = int(data_cfg.get("train_bs", 1))
+    nproc = jax.process_count()
+    if multihost and batch_size % nproc:
+        raise SystemExit(f"train_bs({batch_size}) must divide evenly over "
+                         f"{nproc} hosts")
+    local_bs = batch_size // nproc
     image_size = int(data_cfg.get("image_size", 512))
 
     n_dev = jax.device_count()
@@ -162,6 +178,7 @@ def main(argv=None):
         image_size = 64
         frames = min(frames, 2)
         batch_size = max(batch_size, dp)
+        local_bs = batch_size // nproc
     latent_hw = image_size // 8
     c0 = ucfg.block_out_channels[0]
 
@@ -186,7 +203,9 @@ def main(argv=None):
 
     out_dir = args.output
     os.makedirs(out_dir, exist_ok=True)
-    emitter = MetricsEmitter(f"{out_dir}/metrics.jsonl")
+    # one metrics stream per run (shared filesystems): host 0 only
+    emitter = MetricsEmitter(f"{out_dir}/metrics.jsonl"
+                             if jax.process_index() == 0 else os.devnull)
 
     start_step = 0
     with jax.set_mesh(mesh):
@@ -214,11 +233,14 @@ def main(argv=None):
         total_limit = int(cfg.get("total_limit", 3))
 
         if args.synthetic:
-            batches = synthetic_batches(batch_size, frames, latent_hw, c0)
+            batches = synthetic_batches(local_bs, frames, latent_hw, c0,
+                                        seed=jax.process_index())
         elif args.metadata:
             batches = real_batches(
-                args.metadata, batch_size, frames, image_size, ucfg, dtype,
-                num_workers=int(data_cfg.get("num_workers", 4)))
+                args.metadata, local_bs, frames, image_size, ucfg, dtype,
+                num_workers=int(data_cfg.get("num_workers", 4)),
+                start=jax.process_index() * local_bs,
+                stride=batch_size)
         else:
             raise SystemExit(
                 "provide --metadata clip JSONs (real data) or --synthetic N "
@@ -248,7 +270,8 @@ def main(argv=None):
         t0 = time.time()
         for step in range(start_step, min(start_step + args.synthetic or 10**9,
                                           max_steps)):
-            batch = shard_batch(next(batches), mesh)
+            batch = shard_batch(next(batches), mesh,
+                                global_batch=batch_size if multihost else None)
             key, k = jax.random.split(key)
             params, opt_state, metrics = jstep(params, opt_state, batch, k)
             if use_ema:

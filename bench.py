@@ -161,7 +161,33 @@ def main():
     }))
 
 
+def _require_tpu(timeout_s: float = 180.0):
+    """Fail fast (readable JSON) instead of hanging when the axon tunnel is
+    down: device discovery runs in a daemon thread with a deadline."""
+    import threading
+
+    found = {}
+
+    def probe():
+        import jax
+
+        found["platform"] = jax.devices()[0].platform
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or found.get("platform") in (None, "cpu"):
+        print(json.dumps({
+            "metric": "sec_per_denoise_step_512px_14f_4cfg",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": f"TPU unavailable (platform="
+                     f"{found.get('platform', 'discovery timed out')})",
+        }))
+        os._exit(1)
+
+
 if __name__ == "__main__":
+    _require_tpu()
     if "--clip" in sys.argv[1:]:
         main_clip()
     else:

@@ -39,6 +39,24 @@ def test_prefetch_order_matches_synchronous():
     assert got[0] == [0, 1, 2] and got[3] == [9, 0, 1]
 
 
+def test_prefetch_stride_partitions_hosts_disjointly():
+    """Multi-host contract: host p of P with start=p*L, stride=G yields
+    samples [i*G + p*L, (i*G + (p+1)*L)) of global batch i — disjoint
+    across hosts and contiguous when concatenated in host order."""
+    ds = _SlowDataset(24)
+    G, P = 6, 3           # global batch 6 over 3 hosts -> local batch 2
+    L = G // P
+    per_host = [
+        [idxs for _, idxs in prefetch_batches(
+            ds, batch_size=L, collate=_collate, num_workers=2,
+            start=p * L, stride=G, num_batches=3)]
+        for p in range(P)
+    ]
+    for bi in range(3):
+        merged = [k for p in range(P) for k in per_host[p][bi]]
+        assert merged == [bi * G + j for j in range(G)]
+
+
 def test_prefetch_uses_worker_threads_and_start_offset():
     ds = _SlowDataset(8)
     batches = list(prefetch_batches(
