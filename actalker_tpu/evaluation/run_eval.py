@@ -177,7 +177,9 @@ def _resize_frames01(frames01: np.ndarray, size: int) -> np.ndarray:
 
 def evaluate_clip(path: str, models: EvalModels,
                   ref_video: Optional[str], ref_image: Optional[str],
-                  max_frames: int = 500) -> dict:
+                  max_frames: int = 500, frames=None, ref_frames=None) -> dict:
+    """Score one clip. ``frames``/``ref_frames`` accept already-decoded
+    uint8 arrays so a directory run decodes each video only once."""
     rec: dict = {"clip": os.path.basename(path)}
 
     sync = models.sync()
@@ -199,7 +201,8 @@ def evaluate_clip(path: str, models: EvalModels,
     else:
         rec.update(sync_c=None, sync_d=None)
 
-    frames = _read_clip(path, limit=max_frames)
+    if frames is None:
+        frames = _read_clip(path, limit=max_frames)
     rec["frames"] = int(len(frames))
 
     embed = models.face_embed()
@@ -219,7 +222,8 @@ def evaluate_clip(path: str, models: EvalModels,
         from actalker_tpu.evaluation.metrics import l1 as l1_m
         from actalker_tpu.evaluation.metrics import psnr as psnr_m
 
-        ref_frames = _read_clip(ref_video, limit=max_frames)
+        if ref_frames is None:
+            ref_frames = _read_clip(ref_video, limit=max_frames)
         n = min(len(frames), len(ref_frames))
         if n and frames.shape[1:] == ref_frames.shape[1:]:
             a = frames[:n].astype(np.float32) / 255.0
@@ -248,14 +252,16 @@ def run(video_dir: str, ref_video_dir: Optional[str],
     for path in clips:
         ref_video = _match_by_stem(path, ref_video_dir, VIDEO_EXTS)
         ref_image = _match_by_stem(path, image_dir, IMAGE_EXTS)
-        rec = evaluate_clip(path, models, ref_video, ref_image, max_frames)
+        f = _read_clip(path, limit=max_frames)
+        r = (_read_clip(ref_video, limit=max_frames)
+             if ref_video is not None else None)
+        rec = evaluate_clip(path, models, ref_video, ref_image, max_frames,
+                            frames=f, ref_frames=r)
         records.append(rec)
         print(json.dumps(rec))
 
         if ref_video is not None and (models.inception() is not None
                                       or models.i3d() is not None):
-            f = _read_clip(path, limit=max_frames)
-            r = _read_clip(ref_video, limit=max_frames)
             step = max(1, len(f) // fid_frames_per_clip)
             # inception/i3d feature fns take float [0,1] frames; a common
             # size lets metrics.fid stack frames across clips

@@ -217,21 +217,9 @@ def _medfilt(x: np.ndarray, k: int = 13) -> np.ndarray:
 
 def _bilinear_resize_uint8(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """cv2.resize default-bilinear equivalent (half-pixel centers)."""
-    h, w = img.shape[:2]
-    oh, ow = out_hw
-    ys = (np.arange(oh) + 0.5) * h / oh - 0.5
-    xs = (np.arange(ow) + 0.5) * w / ow - 0.5
-    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
-    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    wy = np.clip(ys - y0, 0, 1)[:, None, None]
-    wx = np.clip(xs - x0, 0, 1)[None, :, None]
-    f = img.astype(np.float32)
-    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
-    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
-    out = top * (1 - wy) + bot * wy
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    from actalker_tpu.frontend.preprocess import cv_bilinear_resize
+
+    return cv_bilinear_resize(img, out_hw[0], out_hw[1])
 
 
 def crop_face_tube(frames: np.ndarray, track: dict,

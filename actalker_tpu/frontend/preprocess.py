@@ -99,6 +99,24 @@ def resize_to_64_multiple(img: np.ndarray, image_size: int) -> np.ndarray:
     return resize_image(img, (new_h, new_w))
 
 
+def cv_bilinear_resize(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """cv2.resize default (bilinear, half-pixel centers) for uint8 HWC —
+    the parity resampler for reference paths that call ``cv2.resize``
+    (SCRFD letterboxing, SyncNet 224x224 face tubes)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(oh) + 0.5) * h / oh - 0.5
+    xs = (np.arange(ow) + 0.5) * w / ow - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1, x1 = np.clip(y0 + 1, 0, h - 1), np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    f = img.astype(np.float32)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    return np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+
+
 def resize_image(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
     nh, nw = hw
     if HAVE_PIL:

@@ -304,19 +304,9 @@ def resize_image_keep_ratio(srcimg: np.ndarray, inp_h: int = 640,
 
 
 def _cv_bilinear(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
-    """cv2.resize default (bilinear, half-pixel centers) for uint8 HWC."""
-    h, w = img.shape[:2]
-    ys = (np.arange(oh) + 0.5) * h / oh - 0.5
-    xs = (np.arange(ow) + 0.5) * w / ow - 0.5
-    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
-    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
-    y1, x1 = np.clip(y0 + 1, 0, h - 1), np.clip(x0 + 1, 0, w - 1)
-    wy = np.clip(ys - y0, 0, 1)[:, None, None]
-    wx = np.clip(xs - x0, 0, 1)[None, :, None]
-    f = img.astype(np.float32)
-    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
-    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
-    return np.clip(np.round(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+    from actalker_tpu.frontend.preprocess import cv_bilinear_resize
+
+    return cv_bilinear_resize(img, oh, ow)
 
 
 def distance2bbox(points: np.ndarray, distance: np.ndarray) -> np.ndarray:

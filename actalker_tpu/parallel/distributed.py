@@ -25,10 +25,14 @@ def init_distributed(
     """
     import jax
 
+    # A pod run must be detected the same way on EVERY host including
+    # worker 0 (all hosts must call initialize or the coordinator never
+    # starts): TPU_WORKER_HOSTNAMES lists all hosts of a pod slice, so a
+    # comma means more than one host.
     want = (
         coordinator_address is not None
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
-        or os.environ.get("TPU_WORKER_ID") not in (None, "", "0")
+        or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
         or (num_processes or 0) > 1
     )
     if not want:

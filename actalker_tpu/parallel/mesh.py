@@ -107,13 +107,19 @@ def shard_batch(tree: Any, mesh: Mesh,
     replicated and must hold the same value on every host.
     """
     nproc = jax.process_count()
+    if global_batch is not None and nproc > 1 \
+            and global_batch % mesh.shape["dp"] != 0:
+        # replicating per-host-differing sample data would be silent
+        # corruption — refuse instead
+        raise ValueError(
+            f"global_batch({global_batch}) must divide the dp axis "
+            f"({mesh.shape['dp']}) in multi-host runs")
 
     def assign(x):
         if global_batch is not None and nproc > 1:
             local = global_batch // nproc
             batched = (hasattr(x, "ndim") and x.ndim >= 1
-                       and x.shape[0] == local
-                       and global_batch % mesh.shape["dp"] == 0)
+                       and x.shape[0] == local)
             spec = (P("dp", *([None] * (x.ndim - 1)))
                     if batched else P())
             return jax.make_array_from_process_local_data(

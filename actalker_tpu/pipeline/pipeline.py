@@ -201,6 +201,19 @@ class ACTalkerPipeline:
         ga, gv = config.gate
         h8, w8 = latent_hw
 
+        # the spatial scales at which mamba blocks run, derived from the
+        # UNet block layout (cross-attn transformers carry the SSM): down
+        # level i sits at stride 2^i, up level i at 2^(n-1-i)
+        ucfg = self.m.unet.config
+        n_levels = len(ucfg.down_block_types)
+        scales = sorted(
+            {2 ** i for i, bt in enumerate(ucfg.down_block_types)
+             if bt.startswith("CrossAttn")}
+            | {2 ** (n_levels - 1 - i)
+               for i, bt in enumerate(ucfg.up_block_types)
+               if bt.startswith("CrossAttn")}
+        ) or [1]
+
         def frac_of(mask_np, gate_on):
             if not gate_on:
                 return 0.0
@@ -210,7 +223,7 @@ class ACTalkerPipeline:
             if m.min() >= 1.0 - 1e-6:
                 return 1.0
             worst = 0.0
-            for s in (1, 2, 4):
+            for s in scales:
                 l = (h8 // s) * (w8 // s)
                 sel = np.asarray(
                     downsample_ip_mask(jnp.asarray(m), l)[..., 0]

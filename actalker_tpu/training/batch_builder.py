@@ -7,10 +7,18 @@ feature windows, the ArcFace identity embedding, the VASA towers (when
 driving supervision is used), and the PoseGuider features — i.e. the
 encode-side of the reference's reconstructed training step
 (SURVEY.md section 3.4).
+
+Raw-sample contract (what ``PortraitAudioDataset`` emits): pixel ``frames``/
+``ref_frame``, a 112x112 ``head_crop`` in [-1, 1] (ArcFace input), 256x256
+``vasa_face``/``vasa_pose`` crops in [0, 1] (VASA tower inputs), a whole-clip
+``audio_features`` log-mel (80, T) plus ``audio_offset``/``audio_step``, and
+the mask/bucket scalars. Samples may instead carry pre-encoded ``id_embed``
+(512), ``audio_tokens`` (F, 32, 1024) or ``vasa_tokens`` (F, 1, 1024), which
+take precedence (tests and pre-encoded corpora use this).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,11 +26,22 @@ import numpy as np
 
 from actalker_tpu.models.vae import AutoencoderKLTemporalDecoder
 from actalker_tpu.training.trainer import TrainBatch
+from actalker_tpu.utils.observability import get_logger
+
+log = get_logger("batch_builder")
 
 
 class BatchBuilder:
-    def __init__(self, pipe, fps: float = 12.5):
-        """``pipe``: an ACTalkerPipeline (modules + params)."""
+    def __init__(self, pipe, fps: float = 12.5,
+                 arcface: Optional[Tuple[Any, Any]] = None):
+        """``pipe``: an ACTalkerPipeline (modules + params).
+
+        ``arcface``: optional (module, params) mapping (B, 112, 112, 3)
+        in [-1, 1] -> (B, 512) identity embeddings. Without it (and without
+        precomputed ``id_embed`` in the samples) identity conditioning is a
+        zero embedding — mirrors the CLI's loud degrade when ArcFace weights
+        are absent.
+        """
         self.pipe = pipe
         self.fps = fps
         m = pipe.m
@@ -31,6 +50,69 @@ class BatchBuilder:
         self._pose = jax.jit(lambda x: m.pose_guider.apply(
             pipe.params["pose_guider"], x))
         self._idp = jax.jit(lambda e: m.id_proj.apply(pipe.params["id_proj"], e))
+        self._arc = (jax.jit(lambda x: arcface[0].apply(arcface[1], x))
+                     if arcface is not None else None)
+        self._warned: set = set()
+
+    def _warn_once(self, key: str, msg: str) -> None:
+        if key not in self._warned:
+            self._warned.add(key)
+            log.warning(msg)
+
+    def _id_embeds(self, samples) -> np.ndarray:
+        if all("id_embed" in s for s in samples):
+            return np.stack([s["id_embed"] for s in samples])
+        if self._arc is not None and all("head_crop" in s for s in samples):
+            crops = jnp.asarray(np.stack([s["head_crop"] for s in samples]))
+            return np.asarray(self._arc(crops))
+        self._warn_once(
+            "id", "no ArcFace module / precomputed id_embed: identity "
+            "conditioning is a zero embedding")
+        return np.zeros((len(samples), 512), np.float32)
+
+    def _audio_tokens(self, s: Dict[str, Any], f: int) -> np.ndarray:
+        if "audio_tokens" in s:
+            return np.asarray(s["audio_tokens"], np.float32)
+        mel = s.get("audio_features")
+        if mel is None:
+            self._warn_once(
+                "audio", "samples carry no audio_features mel / "
+                "audio_tokens: audio conditioning is zero")
+            return np.zeros((f, 32, 1024), np.float32)
+        # whole-clip mel -> whisper states in 3000-mel-frame windows, zero
+        # padding 4 front / 6 back, then per-frame 10x5x384 windows starting
+        # at the sampled clip offset (2 feature frames per video frame at
+        # the RAW fps; the clip's stride is audio_step) — the same assembly
+        # as the CLI (reference ``Inference.py:450-461``).
+        mel = np.asarray(mel, np.float32)
+        feats = []
+        for i in range(0, mel.shape[-1], 3000):
+            feats.append(np.asarray(self.pipe.encode_audio_windows(
+                jnp.asarray(mel[None, :, i:i + 3000])))[0])
+        feats = np.concatenate(feats, axis=0)
+        feats = np.concatenate(
+            [np.zeros_like(feats[:4]), feats, np.zeros_like(feats[:6])],
+            axis=0)
+        offset = int(s.get("audio_offset", 0))
+        step = int(s.get("audio_step", 1))
+        cond, _ = self.pipe.audio_tokens_per_frame(
+            feats[2 * offset:], f, step=step)
+        return np.asarray(cond)
+
+    def _vasa_tokens(self, s: Dict[str, Any], f: int) -> np.ndarray:
+        if "vasa_tokens" in s:
+            return np.asarray(s["vasa_tokens"], np.float32)
+        if ("vasa_face" in s and "vasa_pose" in s
+                and "vasa_expression" in self.pipe.params):
+            expr, rot = self.pipe.encode_vasa_video(
+                np.asarray(s["vasa_face"], np.float32),
+                np.asarray(s["vasa_pose"], np.float32))
+            cond, _ = self.pipe.vasa_tokens(expr, rot, f)
+            return np.asarray(cond)
+        self._warn_once(
+            "vasa", "no VASA tower params / precomputed vasa_tokens: "
+            "expression conditioning is zero")
+        return np.zeros((f, 1, 1024), np.float32)
 
     def __call__(self, samples: list[Dict[str, Any]]) -> TrainBatch:
         scale = self.pipe.m.vae.config.scaling_factor
@@ -41,18 +123,11 @@ class BatchBuilder:
         refs = jnp.asarray(np.stack([s["ref_frame"] for s in samples]))
         ref_latents = self._encode(refs)  # unscaled (channel-concat cond)
 
-        id_embeds = np.stack([
-            s.get("id_embed", np.zeros(512, np.float32)) for s in samples
-        ])
-        id_tokens = self._idp(jnp.asarray(id_embeds))[:, None, :]
-
-        def tok(key, shape):
-            return jnp.asarray(np.stack([
-                s.get(key, np.zeros(shape, np.float32)) for s in samples
-            ]))
-
-        audio_tokens = tok("audio_tokens", (f, 32, 1024))
-        vasa_tokens = tok("vasa_tokens", (f, 1, 1024))
+        id_tokens = self._idp(jnp.asarray(self._id_embeds(samples)))[:, None, :]
+        audio_tokens = jnp.asarray(
+            np.stack([self._audio_tokens(s, f) for s in samples]))
+        vasa_tokens = jnp.asarray(
+            np.stack([self._vasa_tokens(s, f) for s in samples]))
 
         pose_imgs = jnp.asarray(np.stack([
             np.repeat(s["pose_mask"][..., None], 3, axis=-1) for s in samples
@@ -70,5 +145,6 @@ class BatchBuilder:
             latents=latents, ref_latents=ref_latents, id_tokens=id_tokens,
             audio_tokens=audio_tokens, vasa_tokens=vasa_tokens,
             pose_fea=pose_fea, audio_mask=am, exp_mask=em,
-            motion_buckets=mb, fps=jnp.full((b,), self.fps),
+            motion_buckets=mb, fps=jnp.asarray(
+                [float(s.get("fps", self.fps)) for s in samples], jnp.float32),
         )

@@ -384,6 +384,7 @@ class PortraitAudioDataset:
             return crop_resize_img(img, bbox_aspect, image_size)
 
         ref_img = cr(ref_frame)
+        frames_raw = frames  # keep the decoded drive frames for the VASA crops
         frames = np.stack([cr(f) for f in frames])
         u8 = lambda m: (m * 255).astype(np.uint8)  # noqa: E731
         mask_triplet = {
@@ -416,7 +417,7 @@ class PortraitAudioDataset:
         vasa_face, vasa_pose = [], []
         vs = cfg.vasa_image_size
         for i, di in enumerate(drive_idxs):
-            fr_full = self.frame_reader(clip["video_path"], [di])[0]
+            fr_full = frames_raw[i]   # already decoded above; no re-read
             img = fr_full
             if cfg.color_jitter:
                 img = augmentation_mtn(rng, img)

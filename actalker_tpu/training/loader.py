@@ -69,14 +69,12 @@ def prefetch_batches(
                                          or next_bi < num_batches):
             inflight.append(submit(next_bi))
             next_bi += 1
-        done = 0
         while inflight:
             futs = inflight.popleft()
             batch = collate([f.result() for f in futs])
             if num_batches is None or next_bi < num_batches:
                 inflight.append(submit(next_bi))
                 next_bi += 1
-            done += 1
             yield batch
     finally:
         ex.shutdown(wait=False, cancel_futures=True)

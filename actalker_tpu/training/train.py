@@ -47,7 +47,7 @@ def synthetic_batches(batch_size: int, frames: int, latent_hw: int,
 
 def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
                  dtype, num_workers: int = 4, start: int = 0,
-                 stride=None) -> Iterator:
+                 stride=None, arcface_ckpt=None) -> Iterator:
     """Metadata-driven training batches: dataset -> encoders -> TrainBatch.
 
     Encoder weights (VAE / pose guider / id proj) come from configured
@@ -73,11 +73,28 @@ def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
         use_eval_shape=True,
     )
     pipe = ACTalkerPipeline(modules, params, dtype=dtype)
-    builder = BatchBuilder(pipe)
+
+    arcface = None
+    if arcface_ckpt:
+        import os
+
+        if os.path.exists(arcface_ckpt):
+            from actalker_tpu.io import weights as W
+            from actalker_tpu.models.arcface import iresnet50
+
+            arcface = (iresnet50(), W.convert_arcface(
+                W.load_torch_state_dict(arcface_ckpt)))
+    builder = BatchBuilder(pipe, arcface=arcface)
 
     def frame_reader(path, idxs):
         fr = V.read_frames(path, limit=max(idxs) + 1)
         return fr[list(idxs)]
+
+    def audio_reader(path):
+        from actalker_tpu.frontend import audio as A
+
+        mel, _ = A.whisper_features(path)
+        return mel
 
     ds = PortraitAudioDataset(
         load_metadata(metadata_paths),
@@ -86,6 +103,7 @@ def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
         DataConfig(n_sample_frames=frames, image_size=image_size,
                    deterministic_shape=batch_size > 1),
         frame_reader,
+        audio_feature_reader=audio_reader,
     )
     from actalker_tpu.training.loader import prefetch_batches
 
@@ -240,7 +258,8 @@ def main(argv=None):
                 args.metadata, local_bs, frames, image_size, ucfg, dtype,
                 num_workers=int(data_cfg.get("num_workers", 4)),
                 start=jax.process_index() * local_bs,
-                stride=batch_size)
+                stride=batch_size,
+                arcface_ckpt=cfg.get("arcface_checkpoint_path"))
         else:
             raise SystemExit(
                 "provide --metadata clip JSONs (real data) or --synthetic N "
@@ -270,7 +289,17 @@ def main(argv=None):
         t0 = time.time()
         for step in range(start_step, min(start_step + args.synthetic or 10**9,
                                           max_steps)):
-            batch = shard_batch(next(batches), mesh,
+            batch = next(batches)
+            if multihost:
+                # the region masks are defined as "first sample of the
+                # (global) batch" — make every host agree by broadcasting
+                # host 0's masks before assembly
+                from jax.experimental import multihost_utils as mh
+
+                batch = batch._replace(
+                    audio_mask=mh.broadcast_one_to_all(batch.audio_mask),
+                    exp_mask=mh.broadcast_one_to_all(batch.exp_mask))
+            batch = shard_batch(batch, mesh,
                                 global_batch=batch_size if multihost else None)
             key, k = jax.random.split(key)
             params, opt_state, metrics = jstep(params, opt_state, batch, k)

@@ -13,6 +13,6 @@ run() {
   echo "--- rc=$? ---" >> "$LOG"
 }
 run "bench-baseline"      python -u bench.py
-run "bench-normstats-mxu" env ACTALKER_NORM_STATS=mxu python -u bench.py
+run "bench-normstats-matmul" env ACTALKER_NORM_STATS=matmul python -u bench.py
 run "bench-clip"          python -u bench.py --clip
 echo "ALL DONE $(date -u +%H:%M:%S)" >> "$LOG"
