@@ -47,6 +47,11 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0,
     b = b.astype(np.float64)
     if a.ndim == 2:
         a, b = a[..., None], b[..., None]
+    # np.convolve 'valid' SWAPS operands when the signal is shorter than the
+    # kernel, which would silently filter the kernel by the image — shrink
+    # the window (odd, skimage-style) instead of returning garbage
+    win_size = min(win_size, min(a.shape[0], a.shape[1]))
+    win_size -= 1 - win_size % 2
     half = (win_size - 1) / 2
     g = np.exp(-((np.arange(win_size) - half) ** 2) / (2 * sigma**2))
     g /= g.sum()

@@ -187,7 +187,8 @@ def evaluate_clip(path: str, models: EvalModels,
         from actalker_tpu.evaluation.sync_eval import evaluate_sync
 
         try:
-            tracks = evaluate_sync(path, sync[0], sync[1])
+            tracks = evaluate_sync(path, sync[0], sync[1],
+                                   max_frames=max_frames)
             if tracks:
                 # reference reports the confidence-weighted best track
                 off, conf, dist = max(tracks, key=lambda t: t[1])

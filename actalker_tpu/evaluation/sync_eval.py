@@ -382,16 +382,18 @@ class SyncEvaluator:
 
 
 def evaluate_sync(video_path: str, syncnet_params, s3fd,
+                  max_frames: Optional[int] = None,
                   **kwargs) -> List[Tuple[int, float, float]]:
     """Convenience wrapper: path -> per-track (offset, Sync-C, Sync-D).
 
     Uses the native/ffmpeg frontend for decode; frames are resampled to
     25 fps by index (the reference re-encodes with ffmpeg -r 25) and audio
-    to 16 kHz int16 scale."""
+    to 16 kHz int16 scale. ``max_frames`` bounds the decode (at the SOURCE
+    fps) so long clips don't hold every frame in RAM."""
     from actalker_tpu.frontend.audio import load_audio
     from actalker_tpu.frontend.video import get_fps, read_frames
 
-    frames = read_frames(video_path)
+    frames = read_frames(video_path, limit=max_frames)
     fps = get_fps(video_path)
     if abs(fps - 25.0) > 1e-3 and fps > 0:
         idx = np.round(np.arange(0, len(frames) * 25.0 / fps) * fps / 25.0)
@@ -400,5 +402,7 @@ def evaluate_sync(video_path: str, syncnet_params, s3fd,
     audio = load_audio(video_path, sr=16000)
     if audio.dtype.kind == "f":
         audio = np.clip(audio * 32768.0, -32768, 32767)
+    # keep audio and the (possibly truncated) frames the same length
+    audio = audio[:max(1, int(len(frames) * 16000 / 25))]
     ev = SyncEvaluator(syncnet_params=syncnet_params, s3fd=s3fd, **kwargs)
     return ev.evaluate_video(frames, audio, fps=25.0)

@@ -90,8 +90,12 @@ def shard_params(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+REPLICATED_BATCH_FIELDS = ("audio_mask", "exp_mask")
+
+
 def shard_batch(tree: Any, mesh: Mesh,
-                global_batch: Optional[int] = None) -> Any:
+                global_batch: Optional[int] = None,
+                replicated: Sequence[str] = REPLICATED_BATCH_FIELDS) -> Any:
     """Shard leading axis of every array over dp (replicate scalars).
 
     Single-process (``global_batch=None``): plain ``device_put`` onto the
@@ -105,6 +109,12 @@ def shard_batch(tree: Any, mesh: Mesh,
     DCN through a host. A leaf is batched iff its local leading axis is
     exactly the local batch; everything else (masks, scalars) is
     replicated and must hold the same value on every host.
+
+    ``replicated`` names fields that are replicated REGARDLESS of shape —
+    the TrainBatch region masks are (1, 1, H, W) "first sample of the
+    global batch", which the local-batch-size heuristic would misread as a
+    batched leaf whenever local_batch == 1 (the reference-faithful
+    bs-1-per-host pod config).
     """
     nproc = jax.process_count()
     if global_batch is not None and nproc > 1 \
@@ -115,21 +125,29 @@ def shard_batch(tree: Any, mesh: Mesh,
             f"global_batch({global_batch}) must divide the dp axis "
             f"({mesh.shape['dp']}) in multi-host runs")
 
-    def assign(x):
+    def leaf_name(path) -> str:
+        for p in reversed(path):
+            for attr in ("name", "key"):
+                if hasattr(p, attr):
+                    return str(getattr(p, attr))
+        return ""
+
+    def assign(path, x):
+        forced_repl = leaf_name(path) in replicated
         if global_batch is not None and nproc > 1:
             local = global_batch // nproc
-            batched = (hasattr(x, "ndim") and x.ndim >= 1
-                       and x.shape[0] == local)
+            batched = (not forced_repl and hasattr(x, "ndim")
+                       and x.ndim >= 1 and x.shape[0] == local)
             spec = (P("dp", *([None] * (x.ndim - 1)))
                     if batched else P())
             return jax.make_array_from_process_local_data(
                 NamedSharding(mesh, spec), np.asarray(x)
             )
-        if (hasattr(x, "ndim") and x.ndim >= 1
+        if (not forced_repl and hasattr(x, "ndim") and x.ndim >= 1
                 and x.shape[0] % mesh.shape["dp"] == 0):
             return jax.device_put(
                 x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
             )
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree.map(assign, tree)
+    return jax.tree_util.tree_map_with_path(assign, tree)

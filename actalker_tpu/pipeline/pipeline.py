@@ -104,10 +104,11 @@ class ACTalkerPipeline:
 
     # ---------- conditioning encoders (host-called, jitted) ----------
 
-    @functools.partial(jax.jit, static_argnums=0)
     def encode_audio_windows(self, mel: jax.Array) -> jax.Array:
         """mel (B, 80, T) -> stacked whisper states (B, T//2, 5, 384)."""
-        return self.m.whisper.apply(self.params["whisper"], mel)
+        fn = self._jit("whisper", jnp.shape(mel), lambda: jax.jit(
+            lambda p, m: self.m.whisper.apply(p, m)))
+        return fn(self.params["whisper"], mel)
 
     def audio_tokens_per_frame(self, audio_feats: np.ndarray, num_frames: int,
                                step: int = 2) -> tuple[jax.Array, jax.Array]:

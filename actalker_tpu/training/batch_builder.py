@@ -10,8 +10,10 @@ encode-side of the reference's reconstructed training step
 
 Raw-sample contract (what ``PortraitAudioDataset`` emits): pixel ``frames``/
 ``ref_frame``, a 112x112 ``head_crop`` in [-1, 1] (ArcFace input), 256x256
-``vasa_face``/``vasa_pose`` crops in [0, 1] (VASA tower inputs), a whole-clip
-``audio_features`` log-mel (80, T) plus ``audio_offset``/``audio_step``, and
+``vasa_face``/``vasa_pose`` crops in [0, 1] (VASA tower inputs), the
+``audio_features`` log-mel (80, <=3000) of the clip's 30-second
+get_audio_file window plus the window-local ``audio_offset`` and the clip
+``audio_step``, and
 the mask/bucket scalars. Samples may instead carry pre-encoded ``id_embed``
 (512), ``audio_tokens`` (F, 32, 1024) or ``vasa_tokens`` (F, 1, 1024), which
 take precedence (tests and pre-encoded corpora use this).
@@ -79,24 +81,45 @@ class BatchBuilder:
                 "audio", "samples carry no audio_features mel / "
                 "audio_tokens: audio conditioning is zero")
             return np.zeros((f, 32, 1024), np.float32)
-        # whole-clip mel -> whisper states in 3000-mel-frame windows, zero
-        # padding 4 front / 6 back, then per-frame 10x5x384 windows starting
-        # at the sampled clip offset (2 feature frames per video frame at
-        # the RAW fps; the clip's stride is audio_step) — the same assembly
-        # as the CLI (reference ``Inference.py:450-461``).
+        # mel -> whisper states, zero padding 4 front / 6 back, then
+        # per-frame 10x5x384 windows starting at the sampled clip offset
+        # (2 feature frames per video frame at the RAW 25 fps; the clip's
+        # stride is audio_step) — the same assembly as the CLI (reference
+        # ``Inference.py:450-461``). The dataset emits the mel of ONE
+        # 30-second get_audio_file window with a window-local offset; a
+        # wider (whole-clip) mel from a pre-computed corpus is encoded in
+        # 3000-frame chunks instead.
         mel = np.asarray(mel, np.float32)
-        feats = []
-        for i in range(0, mel.shape[-1], 3000):
-            feats.append(np.asarray(self.pipe.encode_audio_windows(
-                jnp.asarray(mel[None, :, i:i + 3000])))[0])
-        feats = np.concatenate(feats, axis=0)
+        offset = int(s.get("audio_offset", 0))
+        step = int(s.get("audio_step", 1))
+        raw_fps = float(s.get("fps", 25.0)) * step
+        if abs(raw_fps - 25.0) > 0.5:
+            self._warn_once(
+                "fps", f"clip raw fps {raw_fps:.4g} != 25 but whisper "
+                "states run at 2 per 25fps video frame — audio "
+                "conditioning will drift (resample the corpus to 25 fps)")
+        if mel.shape[-1] <= 3000:
+            if mel.shape[-1] < 3000:
+                # test fakes / trimmed windows; production windows arrive
+                # silence-padded in the sample domain at exactly 3000
+                mel = np.pad(mel, ((0, 0), (0, 3000 - mel.shape[-1])))
+            feats = np.asarray(self.pipe.encode_audio_windows(
+                jnp.asarray(mel[None])))[0]
+        else:
+            feats = np.concatenate(
+                [np.asarray(self.pipe.encode_audio_windows(
+                    jnp.asarray(mel[None, :, i:i + 3000])))[0]
+                 for i in range(0, mel.shape[-1], 3000)], axis=0)
         feats = np.concatenate(
             [np.zeros_like(feats[:4]), feats, np.zeros_like(feats[:6])],
             axis=0)
-        offset = int(s.get("audio_offset", 0))
-        step = int(s.get("audio_step", 1))
-        cond, _ = self.pipe.audio_tokens_per_frame(
-            feats[2 * offset:], f, step=step)
+        feats = feats[2 * offset:]
+        need = 2 * step * (f - 1) + 10
+        if len(feats) < need:  # never a ragged per-frame window stack
+            feats = np.concatenate(
+                [feats, np.zeros((need - len(feats),) + feats.shape[1:],
+                                 feats.dtype)], axis=0)
+        cond, _ = self.pipe.audio_tokens_per_frame(feats, f, step=step)
         return np.asarray(cond)
 
     def _vasa_tokens(self, s: Dict[str, Any], f: int) -> np.ndarray:

@@ -70,7 +70,12 @@ class DataConfig:
 def load_metadata(json_paths: Sequence[str]) -> List[Dict[str, Any]]:
     """Each JSON holds a list of clip records:
     {video_path, audio_path?, frames, bboxes [[x1,y1,x2,y2]...],
-     landmarks?, valid_clip?, quality?, similarity?}."""
+     landmarks?, valid_clip?, quality?, similarity?}.
+
+    ``quality``/``similarity`` are carried for curation tooling but do NOT
+    gate sampling — the reference loads its score lists without ever using
+    them (``portrait_audio_dataset_arcface_vasa.py:689-700``); the live
+    resample gates are the landmark-outlier and optical-flow ones."""
     clips = []
     for p in json_paths:
         with open(p) as f:
@@ -134,10 +139,16 @@ def box_mask(height: int, width: int, bbox: Sequence[float]) -> np.ndarray:
 
 
 def crop_resize_img(img: np.ndarray, bbox: Sequence[float],
-                    image_size: float) -> np.ndarray:
+                    image_size: float,
+                    out_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """``crop_resize_img`` 589-597: PIL-style crop to the (possibly
     out-of-range) box, then scale so area ~= image_size^2, both dims floored
-    to 64-multiples, LANCZOS."""
+    to 64-multiples, LANCZOS.
+
+    ``out_hw`` pins the output shape exactly (the deterministic-shape path:
+    the reference's ``int(w*scale)//64*64`` float math lands on 448 instead
+    of 512 for ~14% of square crop sizes, which would make batched
+    ``np.stack`` ragged)."""
     x1, y1, x2, y2 = [int(round(v)) for v in bbox]
     h, w = img.shape[:2]
     # PIL .crop pads out-of-range regions with zeros
@@ -146,6 +157,8 @@ def crop_resize_img(img: np.ndarray, bbox: Sequence[float],
     sx1, sx2 = max(x1, 0), min(x2, w)
     if sy2 > sy1 and sx2 > sx1:
         out[sy1 - y1:sy2 - y1, sx1 - x1:sx2 - x1] = img[sy1:sy2, sx1:sx2]
+    if out_hw is not None:
+        return resize_image(out, out_hw)
     ch, cw = out.shape[:2]
     scale = np.sqrt(image_size ** 2 / (ch * cw))
     new_w = int(cw * scale) // 64 * 64
@@ -297,14 +310,24 @@ def augmentation_mtn(rng: random.Random, img: np.ndarray) -> np.ndarray:
 
 class PortraitAudioDataset:
     """Map-style dataset over clip metadata; ``frame_reader(path, idxs)`` and
-    ``audio_reader(path)`` are injected so tests can fake media IO."""
+    ``audio_feature_reader(path, start_frame)`` are injected so tests can
+    fake media IO.
+
+    ``audio_feature_reader`` returns ``(mel, window_offset)``: the log-mel of
+    the reference's 30-second raw-audio window containing ``start_frame``
+    (``get_audio_file``, reference dataset 632-654 — silence padding happens
+    in the SAMPLE domain there, which is why the window selection cannot be
+    done on a whole-clip mel) and the frame offset remapped into that
+    window. See ``slice_audio_window`` + ``frontend.audio.log_mel_spectrogram``
+    for the production implementation (``training/train.py``)."""
 
     def __init__(
         self,
         clips: List[Dict[str, Any]],
         config: DataConfig,
         frame_reader: Callable[[str, Sequence[int]], np.ndarray],
-        audio_feature_reader: Optional[Callable[[str], np.ndarray]] = None,
+        audio_feature_reader: Optional[
+            Callable[[str, int], Tuple[np.ndarray, int]]] = None,
         rng: Optional[random.Random] = None,
     ):
         self.clips = clips
@@ -380,8 +403,12 @@ class PortraitAudioDataset:
             image_size = 512 + (cfg.image_size - 512) * rng.random()
         bbox_aspect = get_bbox_by_aspect(bbox_s, aspect, w, h)
 
+        side = int(image_size) // 64 * 64
+
         def cr(img):
-            return crop_resize_img(img, bbox_aspect, image_size)
+            return crop_resize_img(
+                img, bbox_aspect, image_size,
+                out_hw=(side, side) if cfg.deterministic_shape else None)
 
         ref_img = cr(ref_frame)
         frames_raw = frames  # keep the decoded drive frames for the VASA crops
@@ -438,9 +465,10 @@ class PortraitAudioDataset:
             vasa_pose.append(resize_image(pose_c, (vs, vs))
                              .astype(np.float32) / 255.0)
 
-        audio = None
+        audio, audio_offset = None, drive_idxs[0]
         if self.audio_feature_reader and clip.get("audio_path"):
-            audio = self.audio_feature_reader(clip["audio_path"])
+            audio, audio_offset = self.audio_feature_reader(
+                clip["audio_path"], drive_idxs[0])
 
         return {
             "frames": frames.astype(np.float32) / 127.5 - 1.0,
@@ -455,7 +483,7 @@ class PortraitAudioDataset:
             "motion_bucket_exp": mb_exp,
             "motion_bucket_flow": mb_flow,
             "audio_features": audio,
-            "audio_offset": drive_idxs[0],
+            "audio_offset": audio_offset,
             "audio_step": step,
             "fps": float(clip.get("fps", 25.0)) / step,
             "frame_indices": drive_idxs,

@@ -90,18 +90,26 @@ def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
         fr = V.read_frames(path, limit=max(idxs) + 1)
         return fr[list(idxs)]
 
-    def audio_reader(path):
+    def audio_reader(path, start_frame):
+        # the reference's get_audio_file: pick the 30 s raw-audio window
+        # containing the clip start (silence padding in the SAMPLE domain),
+        # then one (80, 3000) mel — one whisper window per sample instead of
+        # encoding the entire clip
         from actalker_tpu.frontend import audio as A
+        from actalker_tpu.training.data import slice_audio_window
 
-        mel, _ = A.whisper_features(path)
-        return mel
+        window, offset = slice_audio_window(A.load_audio(path), start_frame)
+        return A.log_mel_spectrogram(window)[:, :3000], offset
 
     ds = PortraitAudioDataset(
         load_metadata(metadata_paths),
-        # deterministic shapes whenever samples are stacked across a batch
-        # (the reference trains bs=1/GPU with the random-size augmentation)
+        # deterministic shapes whenever samples are stacked across a GLOBAL
+        # batch — keyed on stride (the global batch size in multi-host runs,
+        # where hosts with local bs 1 still assemble one global array), not
+        # the local slice. (The reference trains bs=1/GPU with the
+        # random-size augmentation; single-process bs=1 keeps that.)
         DataConfig(n_sample_frames=frames, image_size=image_size,
-                   deterministic_shape=batch_size > 1),
+                   deterministic_shape=(stride or batch_size) > 1),
         frame_reader,
         audio_feature_reader=audio_reader,
     )

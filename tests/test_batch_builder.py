@@ -73,8 +73,10 @@ def test_raw_sample_keys_reach_the_encoders():
                                rtol=1e-5, atol=1e-5)
     assert float(np.abs(want_id).max()) > 0
 
-    # audio: mel -> whisper -> pad 4/6 -> offset slice -> audio_proj
+    # audio: mel (padded to the 3000-frame window) -> whisper -> pad 4/6 ->
+    # offset slice -> audio_proj
     mel = s["audio_features"]
+    mel = np.pad(mel, ((0, 0), (0, 3000 - mel.shape[-1])))
     feats = np.asarray(pipe.encode_audio_windows(jnp.asarray(mel[None])))[0]
     feats = np.concatenate(
         [np.zeros_like(feats[:4]), feats, np.zeros_like(feats[:6])], axis=0)
