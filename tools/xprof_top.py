@@ -3,14 +3,34 @@
 dependency — this image's tensorboard_plugin_profile protos are broken, so
 this parses the protobuf wire format directly).
 
-Usage: python tools/xprof_top.py <dir-or-xplane.pb> [N]
+Usage: python tools/xprof_top.py <dir-or-xplane.pb> [N] [--cat] [--all]
 Prints the N heaviest XLA ops on the device plane with total seconds, call
-count, and share of device time.
+count, and share of device time. Async DMA ops (copy-start/slice-start —
+overlapped MSA prefetches whose durations double-count against compute) are
+excluded unless --all is given; the remaining op time sums to wall time.
+--cat groups ops by category (fusion/conv/custom-call kind) instead of
+listing individuals.
 """
 import glob
 import os
+import re
 import sys
 from collections import defaultdict
+
+_ASYNC = ("copy-start", "slice-start", "copy-done", "slice-done",
+          "all-reduce-start", "all-gather-start", "collective-permute-start")
+
+
+def _category(nm):
+    base = nm.split(" = ")[0].lstrip("%")
+    base = re.sub(r"\.\d+$", "", base)
+    for k in ("ssm_scan", "flash_attention", "convolution", "fusion",
+              "dynamic-update-slice", "dynamic-slice", "reduce", "transpose",
+              "reshape", "broadcast", "copy", "add", "multiply", "select",
+              "iota", "convert", "bitcast", "pad", "slice", "concatenate"):
+        if base.startswith(k) or f"_{k}" in base or base.endswith(k):
+            return k if base.startswith(k) else base
+    return base
 
 
 def _varint(buf, i):
@@ -94,7 +114,7 @@ def parse_event(buf):
     return mid, dur
 
 
-def summarize(path, top_n=30):
+def summarize(path, top_n=30, by_cat=False, include_async=False):
     if os.path.isdir(path):
         cands = sorted(glob.glob(os.path.join(
             path, "**", "*.xplane.pb"), recursive=True))
@@ -111,6 +131,7 @@ def summarize(path, top_n=30):
             continue
         tot = defaultdict(int)
         cnt = defaultdict(int)
+        dropped = 0
         for lbuf in lines:
             lname, events = parse_line(lbuf)
             if "XLA Ops" not in lname:
@@ -118,17 +139,25 @@ def summarize(path, top_n=30):
             for ebuf in events:
                 mid, dur = parse_event(ebuf)
                 nm = meta.get(mid, str(mid))
-                tot[nm] += dur
-                cnt[nm] += 1
+                if not include_async and nm.lstrip("%").startswith(_ASYNC):
+                    dropped += dur
+                    continue
+                key = _category(nm) if by_cat else nm
+                tot[key] += dur
+                cnt[key] += 1
         if not tot:
             continue
         ssum = sum(tot.values()) / 1e12
-        print(f"\n== {pname}: {ssum:.4f} device-seconds in XLA ops ==")
+        note = "" if include_async else (
+            f" (excl. {dropped/1e12:.3f}s overlapped async DMA)")
+        print(f"\n== {pname}: {ssum:.4f} device-seconds in XLA ops{note} ==")
         for nm, d in sorted(tot.items(), key=lambda kv: -kv[1])[:top_n]:
             sec = d / 1e12
             print(f"{sec:9.5f}s {100*sec/ssum:5.1f}% {cnt[nm]:5d}x  {nm[:95]}")
 
 
 if __name__ == "__main__":
-    summarize(sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof",
-              int(sys.argv[2]) if len(sys.argv) > 2 else 30)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    summarize(args[0] if args else "/tmp/prof",
+              int(args[1]) if len(args) > 1 else 30,
+              by_cat="--cat" in sys.argv, include_async="--all" in sys.argv)
