@@ -21,6 +21,7 @@ as (B, S, 1) multipliers.
 from __future__ import annotations
 
 import math
+import os as _os
 from typing import List, Optional, Sequence
 
 import flax.linen as nn
@@ -29,7 +30,26 @@ import jax.numpy as jnp
 
 from actalker_tpu.models.common import LayerNormF32, dense
 from actalker_tpu.ops.attention import dot_product_attention, self_attention_bhsd
+from actalker_tpu.ops.mha import frame_attention_tokens, mha_tokens
 from actalker_tpu.ops.resize import torch_bicubic_resize
+
+# Attention layout: "tokens" (default) keeps q/k/v in (B, S, C=H*Dh) token
+# layout end to end (ops.mha kernels; projections stay 2-D GEMMs, no
+# (B,S,H,D)<->(B,H,S,D) relayouts), "bhsd" projects to per-head layout for
+# the stock flash kernel. "frame_tokens"/"spatial_tokens" apply the token
+# kernels to only the frame / only the spatial attention (A/B granularity).
+# All values share the same parameter tree (kernel (C, inner)/(inner, C) +
+# bias). Measured on the v5e bench step (2026-08-18): tokens 1.0461 s vs
+# bhsd 1.0694 s (both with XLA norms).
+_ATTN_CHOICES = ("tokens", "bhsd", "frame_tokens", "spatial_tokens")
+_ATTN_IMPL = _os.environ.get("ACTALKER_ATTN", "tokens")
+assert _ATTN_IMPL in _ATTN_CHOICES, _ATTN_IMPL
+
+
+def set_attn_impl(impl: str) -> None:
+    global _ATTN_IMPL
+    assert impl in _ATTN_CHOICES, impl
+    _ATTN_IMPL = impl
 
 
 class _Proj(nn.Module):
@@ -117,7 +137,20 @@ class Attention(nn.Module):
         b, s, c = x.shape
         inner = self.heads * self.head_dim
         if context is None and self.num_adapters == 0:
-            # pure self-attention: project straight to (B, H, S, D), run the
+            if _ATTN_IMPL in ("tokens", "spatial_tokens"):
+                # token layout end to end: plain 2-D GEMM projections, the
+                # multi-head flash kernel splits heads inside VMEM. Keeps the
+                # whole block in the canonical C-minor layout (see ops/mha.py).
+                q = dense(inner, use_bias=False, dtype=self.dtype,
+                          name="to_q")(x)
+                k = dense(inner, use_bias=False, dtype=self.dtype,
+                          name="to_k")(x)
+                v = dense(inner, use_bias=False, dtype=self.dtype,
+                          name="to_v")(x)
+                o = mha_tokens(q, k, v, self.heads)
+                return dense(self.out_dim or c, use_bias=True,
+                             dtype=self.dtype, name="to_out")(o)
+            # per-head layout: project straight to (B, H, S, D), run the
             # flash kernel, fold the head-merge into the output projection.
             q = _Proj(inner, dtype=self.dtype, name="to_q")(x, "bhsd", self.heads)
             k = _Proj(inner, dtype=self.dtype, name="to_k")(x, "bhsd", self.heads)
@@ -259,13 +292,18 @@ class _FrameSelfAttention(nn.Module):
         q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        q5 = q.reshape(b, num_frames, s, self.heads, self.head_dim)
-        k5 = k.reshape(b, num_frames, s, self.heads, self.head_dim)
-        v5 = v.reshape(b, num_frames, s, self.heads, self.head_dim)
-        scores = jnp.einsum("bfshd,bgshd->bshfg", q5, k5).astype(jnp.float32)
-        probs = jax.nn.softmax(
-            scores * (self.head_dim ** -0.5), axis=-1).astype(q.dtype)
-        o = jnp.einsum("bshfg,bgshd->bfshd", probs, v5).reshape(bf, s, inner)
+        if _ATTN_IMPL in ("tokens", "frame_tokens"):
+            o = frame_attention_tokens(q, k, v, num_frames, self.heads)
+        else:
+            q5 = q.reshape(b, num_frames, s, self.heads, self.head_dim)
+            k5 = k.reshape(b, num_frames, s, self.heads, self.head_dim)
+            v5 = v.reshape(b, num_frames, s, self.heads, self.head_dim)
+            scores = jnp.einsum(
+                "bfshd,bgshd->bshfg", q5, k5).astype(jnp.float32)
+            probs = jax.nn.softmax(
+                scores * (self.head_dim ** -0.5), axis=-1).astype(q.dtype)
+            o = jnp.einsum(
+                "bshfg,bgshd->bfshd", probs, v5).reshape(bf, s, inner)
         return dense(c, use_bias=True, dtype=self.dtype, name="to_out")(o)
 
 

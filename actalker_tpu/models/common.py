@@ -30,6 +30,23 @@ import os as _os
 _NORM_STATS_IMPL = _os.environ.get("ACTALKER_NORM_STATS", "reduce")
 assert _NORM_STATS_IMPL in ("reduce", "matmul"), _NORM_STATS_IMPL
 
+# Norm lowering: "xla" (default) keeps the plain stats+affine lowering
+# below; "fused" routes LayerNorm/GroupNorm through the Pallas kernels in
+# ops/norms.py. Measured on the v5e bench step (2026-08-18): fused LOSES
+# ~75 ms/step (1.145 vs 1.069 s at bhsd attention, 1.119 vs 1.046 at
+# tokens) — the custom-call boundary breaks XLA's fusion of the norm affine
+# with neighboring residual/activation work and adds its own operand
+# copies, costing more than the stats-tuple layout entanglement it removes.
+# Kept as an opt-in experiment switch (ACTALKER_NORM / set_norm_impl).
+_NORM_IMPL = _os.environ.get("ACTALKER_NORM", "xla")
+assert _NORM_IMPL in ("fused", "xla"), _NORM_IMPL
+
+
+def set_norm_impl(impl: str) -> None:
+    global _NORM_IMPL
+    assert impl in ("fused", "xla"), impl
+    _NORM_IMPL = impl
+
 
 def set_norm_stats_impl(impl: str) -> None:
     global _NORM_STATS_IMPL
@@ -69,6 +86,10 @@ class GroupNorm32(nn.Module):
         assert c % groups == 0, (c, groups)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if _NORM_IMPL == "fused":
+            from actalker_tpu.ops.norms import group_norm
+
+            return group_norm(x, scale, bias, groups, self.epsilon)
         shape = x.shape
         n = shape[0]
         red_axes = tuple(range(1, x.ndim - 1))
@@ -114,6 +135,10 @@ class LayerNormF32(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if _NORM_IMPL == "fused":
+            from actalker_tpu.ops.norms import layer_norm
+
+            return layer_norm(x, scale, bias, self.epsilon)
         mean, mean2 = _moments_lastaxis(x, _NORM_STATS_IMPL)
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         a = jax.lax.rsqrt(var + self.epsilon) * scale
