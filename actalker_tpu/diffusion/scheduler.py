@@ -137,14 +137,22 @@ def step(
     """One Euler step x_{t} -> x_{t-1}; pure function of explicit sigmas.
 
     ``gamma`` enables ancestral churn (requires ``noise``); the production
-    sampler uses gamma == 0, making the step deterministic.
+    sampler uses gamma == 0, making the step deterministic. ``gamma`` may be
+    a traced scalar (the sampler feeds a host-precomputed per-step gamma
+    table) as long as ``noise`` is provided — with gamma == 0 the churn term
+    is exactly zero, matching the reference's ``if gamma > 0`` guard
+    (``src/schedulers/scheduling_euler_discrete.py:147-170``).
     """
     sigma = jnp.asarray(sigma, sample.dtype)
+    gamma = jnp.asarray(gamma, sample.dtype)
     sigma_hat = sigma * (gamma + 1.0)
-    if gamma > 0:
-        if noise is None:
+    if noise is None:
+        if (isinstance(gamma, (int, float)) or gamma.ndim == 0) and \
+                not isinstance(gamma, jax.core.Tracer) and float(gamma) > 0:
             raise ValueError("gamma > 0 requires noise")
-        sample = sample + noise * s_noise * jnp.sqrt(sigma_hat**2 - sigma**2)
+    else:
+        sample = sample + noise * s_noise * jnp.sqrt(
+            jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
 
     if prediction_type == "epsilon":
         pred_x0 = sample - sigma_hat * model_output

@@ -110,6 +110,24 @@ def downsample_ip_mask(mask: jax.Array, num_queries: int) -> jax.Array:
     return m[:, :, None]
 
 
+def expand_mask_rows(m: jax.Array, batch: jax.Array) -> jax.Array:
+    """Expand a per-sample mask tensor (leading axis Bm) to the token batch.
+
+    Token batches are sample-major flattenings (B, F) -> B*F (UNet forward)
+    or CFG stacks of one clip, so Bm == 1 broadcasts and Bm > 1 repeats each
+    sample row ``batch // Bm`` times consecutively — per-sample region masks
+    (reference dataset emits one mouth/exp mask per sample,
+    ``portrait_audio_dataset_arcface_vasa.py:725-735``).
+    """
+    bm = m.shape[0]
+    if bm == batch:
+        return m
+    if bm == 1:
+        return jnp.broadcast_to(m, (batch,) + m.shape[1:])
+    assert batch % bm == 0, (batch, bm)
+    return jnp.repeat(m, batch // bm, axis=0)
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional IP-adapter branches.
 
@@ -220,9 +238,7 @@ class Attention(nn.Module):
                     ip_out = attend(q, k_ip, v_ip).reshape(b, s, inner)
                 if ip_masks is not None and ip_masks[i] is not None:
                     m = downsample_ip_mask(ip_masks[i], s).astype(ip_out.dtype)
-                    if m.shape[0] != b:  # broadcast one mask over frames
-                        m = jnp.broadcast_to(m, (b,) + m.shape[1:])
-                    ip_out = ip_out * m
+                    ip_out = ip_out * expand_mask_rows(m, b)
                 out = out + jnp.asarray(ip_scales[i], out.dtype) * ip_out
 
         return dense(self.out_dim or c, dtype=self.dtype, name="to_out")(out)

@@ -20,8 +20,11 @@ class Conditioning:
       id_tokens:    (BF, 1, d_cond)   ArcFace identity embedding tokens
       audio_tokens: (BF, 32, d_cond)  Whisper-window context tokens
       vasa_tokens:  (BF, 1, d_cond)   VASA expression+pose token
-      audio_mask:   (1, 1, H, W) region mask for the audio branch (or None)
-      exp_mask:     (1, 1, H, W) region mask for the expression branch
+      audio_mask:   (Bm, 1, H, W) region mask for the audio branch (or None);
+                    Bm == 1 broadcasts over the token batch, Bm == B carries
+                    one mask per sample (training batches; frame-repeated at
+                    the use sites, see ``expand_mask_rows``)
+      exp_mask:     (Bm, 1, H, W) region mask for the expression branch
       ip_scales:    static per-adapter attention scales (audio, vasa)
     """
 

@@ -46,7 +46,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from actalker_tpu.models.attention_blocks import downsample_ip_mask
+from actalker_tpu.models.attention_blocks import (
+    downsample_ip_mask,
+    expand_mask_rows,
+)
 from actalker_tpu.models.common import LayerNormF32, dense
 from actalker_tpu.ops.selective_scan import selective_scan
 
@@ -243,8 +246,15 @@ class SS2DCondV10(nn.Module):
     # the grouped path to gather/scatter with K = ceil(frac * L) token slots
     # per branch (see module docstring). None => masked-dense full scan.
     # CORRECTNESS CONTRACT: the true active-token count at every resolution
-    # must be <= K; overflow tokens are silently dropped from the scan.
+    # must be <= K (the pipeline computes a true upper bound host-side with
+    # the same mask downsample). ``capacity_overflow`` guards the contract
+    # at runtime:
+    #   "nan"  (default) — a violated capacity poisons the block output with
+    #          NaN, so misuse fails loudly instead of silently degrading;
+    #   "drop" — overflow tokens are dropped from the scan (their output is
+    #          the in_proj passthrough, like deselected tokens).
     capacity_frac: Optional[tuple] = None
+    capacity_overflow: str = "nan"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -273,8 +283,7 @@ class SS2DCondV10(nn.Module):
             m = downsample_ip_mask(mask, l)[..., 0]
             # reference selects tokens where int(mask) != 0 after the bicubic
             # downsample, i.e. values that reach 1.0.
-            s = m >= 1.0 - 1e-6
-            return jnp.broadcast_to(s, (b, l)) if s.shape[0] != b else s
+            return expand_mask_rows(m >= 1.0 - 1e-6, b)
 
         if self.no_scan:
             outs = []
@@ -424,9 +433,14 @@ class SS2DCondV10(nn.Module):
                                      x_a.astype(self.dtype), w_in)
                 cols = jnp.arange(bp, dtype=jnp.int32)[None, :]
                 u_rows, tms, scatters = [], [], []
+                overflow = jnp.zeros((), jnp.int32)
                 for bi in range(nb):
                     K, ntok = caps[bi], ntoks[bi]
                     sel = sels[bi]                           # (b, l)
+                    if K < l:  # runtime capacity-contract guard
+                        overflow = overflow + jnp.maximum(
+                            jnp.max(jnp.sum(sel.astype(jnp.int32), axis=1))
+                            - K, 0)
                     # slot assignment: cumsum-compaction, stable in token
                     # order (the reference's masked_select order,
                     # mamba_layer.py:1962); overflow and inactive tokens
@@ -473,6 +487,12 @@ class SS2DCondV10(nn.Module):
                                  (2 * bi + 2) * d_inner]).astype(self.dtype)
                     upd = jnp.where(gact[:, :, None], y_b, gath)
                     outs.append(xz_b.at[idx_s, cols].set(upd, mode="drop"))
+                if self.capacity_overflow == "nan":
+                    # a violated capacity contract fails loudly: NaN-poison
+                    # the block output instead of silently dropping tokens
+                    poison = jnp.where(overflow > 0, jnp.nan, 0.0
+                                       ).astype(self.dtype)
+                    outs[0] = outs[0] + poison
 
             y = LayerNormF32(name="out_norm")(sum(outs))
             y = dense(self.d_model, use_bias=False, dtype=self.dtype,
@@ -490,9 +510,7 @@ class SS2DCondV10(nn.Module):
                 m = downsample_ip_mask(mask, l)[..., 0]        # (Bm, L)
                 # reference selects tokens where int(mask) != 0 after bicubic
                 # downsample, i.e. values that reach 1.0.
-                sel = m >= 1.0 - 1e-6
-                if sel.shape[0] != b:
-                    sel = jnp.broadcast_to(sel, (b, l))
+                sel = expand_mask_rows(m >= 1.0 - 1e-6, b)
             extra = [] if id_tok is None else [
                 jnp.broadcast_to(id_tok, (b,) + id_tok.shape[1:])]
             extra.append(jnp.broadcast_to(cond_tok, (b,) + cond_tok.shape[1:]))

@@ -90,7 +90,9 @@ def shard_params(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-REPLICATED_BATCH_FIELDS = ("audio_mask", "exp_mask")
+# Batch fields replicated regardless of shape. Region masks are per-sample
+# (B, 1, H, W) since round 3 and shard over dp like any other batched leaf.
+REPLICATED_BATCH_FIELDS = ()
 
 
 def shard_batch(tree: Any, mesh: Mesh,
@@ -110,11 +112,10 @@ def shard_batch(tree: Any, mesh: Mesh,
     exactly the local batch; everything else (masks, scalars) is
     replicated and must hold the same value on every host.
 
-    ``replicated`` names fields that are replicated REGARDLESS of shape —
-    the TrainBatch region masks are (1, 1, H, W) "first sample of the
-    global batch", which the local-batch-size heuristic would misread as a
-    batched leaf whenever local_batch == 1 (the reference-faithful
-    bs-1-per-host pod config).
+    ``replicated`` names fields that are replicated REGARDLESS of shape
+    (none by default; pass field names for (1, ...) leaves that the
+    local-batch-size heuristic would misread as batched when
+    local_batch == 1).
     """
     nproc = jax.process_count()
     if global_batch is not None and nproc > 1 \

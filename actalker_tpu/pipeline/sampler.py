@@ -55,6 +55,14 @@ class SamplerConfig:
     i2i_noise_strength: float = 1.0
     gate: Tuple[int, int] = (1, 1)   # (audio, vasa) — mode 0:[1,0] 1:[0,1] 2:[1,1]
     windows_per_call: int = 0        # 0 = all windows in one UNet batch
+    # ancestral churn (reference scheduler step args, scheduling_euler_
+    # discrete.py:85-92; production keeps s_churn = 0 = deterministic)
+    s_churn: float = 0.0
+    s_tmin: float = 0.0
+    s_tmax: float = float("inf")
+    s_noise: float = 1.0
+    noise_type: str = "random"       # "random" | "video_fusion"
+    w_ind_noise: float = 0.5
     scheduler: sch.EulerDiscreteConfig = sch.EulerDiscreteConfig()
 
 
@@ -67,6 +75,7 @@ class SamplerPlan:
     guidance1: np.ndarray       # (steps,)
     guidance2: np.ndarray
     guidance3: np.ndarray
+    gammas: np.ndarray          # (steps,) per-step churn gamma (0 = no churn)
     window_idx: np.ndarray      # (steps, n_windows, fpb) buffer indices
     buffer_len: int
     num_frames: int
@@ -114,9 +123,16 @@ def make_plan(cfg: SamplerConfig, num_frames: int) -> SamplerPlan:
     g1 = np.linspace(cfg.min_guidance1, cfg.max_guidance1, n).astype(np.float32)
     g2 = np.full((n,), cfg.guidance2, np.float32)
     g3 = np.full((n,), cfg.guidance3, np.float32)
+    # per-step churn gamma (reference scheduler step, scheduling_euler_
+    # discrete.py:147-151): min(s_churn / (len(sigmas)-1), sqrt(2)-1) when
+    # s_tmin <= sigma <= s_tmax else 0. Host-precomputed: sigmas are static.
+    gam = min(cfg.s_churn / max(len(sigmas) - 1, 1), 2**0.5 - 1)
+    gammas = np.where(
+        (sigmas[:-1] >= cfg.s_tmin) & (sigmas[:-1] <= cfg.s_tmax), gam, 0.0
+    ).astype(np.float32)
     return SamplerPlan(
         sigmas=sigmas, timesteps=timesteps, guidance1=g1, guidance2=g2,
-        guidance3=g3, window_idx=window_idx, buffer_len=buf,
+        guidance3=g3, gammas=gammas, window_idx=window_idx, buffer_len=buf,
         num_frames=num_frames,
     )
 
@@ -190,7 +206,21 @@ def sample_video(
     )
     added_time_ids4 = jnp.tile(added_time_ids, (4, 1))
 
-    def denoise_window(latents_all, idx, sigma, sigma_next, t_cont, g1, g2, g3):
+    churn = cfg.s_churn > 0
+    churn_key = jax.random.fold_in(noise_key, 0x5345)
+
+    def churn_noise(step_i, w_ord):
+        """Per-(step, window) churn noise, (fpb, h, w, 4)."""
+        from actalker_tpu.diffusion.noise import video_fusion_noise
+
+        k = jax.random.fold_in(jax.random.fold_in(churn_key, step_i), w_ord)
+        if cfg.noise_type == "video_fusion":
+            n5 = video_fusion_noise(k, (1, fpb, 4, h, w), cfg.w_ind_noise)
+            return jnp.moveaxis(n5[0], 0, -1)                    # (fpb, h, w, 4)
+        return jax.random.normal(k, (fpb, h, w, 4), jnp.float32)
+
+    def denoise_window(latents_all, idx, sigma, sigma_next, t_cont, g1, g2, g3,
+                       gamma=0.0, noise=None):
         """One window: gather -> 4-way CFG UNet -> combine -> Euler step."""
         lat = latents_all[idx]                                   # (fpb, h, w, 4)
         cond = _cfg_conditioning(buffers, idx, cfg, dtype)
@@ -213,30 +243,34 @@ def sample_video(
         return sch.step(
             lat, noise_pred, sigma, sigma_next,
             cfg.scheduler.prediction_type,
+            gamma=gamma, noise=noise, s_noise=cfg.s_noise,
         )
 
     def step_fn(latents_all, xs):
-        sigma, sigma_next, t_cont, g1, g2, g3, w_idx = xs
+        sigma, sigma_next, t_cont, g1, g2, g3, gamma, step_i, w_idx = xs
 
-        def one(idx):
+        def one(idx, w_ord):
+            noise = churn_noise(step_i, w_ord) if churn else None
             return denoise_window(
-                latents_all, idx, sigma, sigma_next, t_cont, g1, g2, g3
+                latents_all, idx, sigma, sigma_next, t_cont, g1, g2, g3,
+                gamma=gamma, noise=noise,
             )
 
+        w_ords = jnp.arange(nw, dtype=jnp.int32)
         # window_sharding overrides windows_per_call: the lax.map chunking
         # bounds memory on ONE chip, whereas sharding spreads the full
         # window batch across chips (which is the memory bound already).
         if (window_sharding is None and cfg.windows_per_call
                 and cfg.windows_per_call < nw):
             outs = jax.lax.map(
-                lambda idx: one(idx), w_idx,
+                lambda iw: one(*iw), (w_idx, w_ords),
                 batch_size=cfg.windows_per_call,
             )
         else:
             if window_sharding is not None:
                 w_idx = jax.lax.with_sharding_constraint(
                     w_idx, window_sharding)
-            outs = jax.vmap(one)(w_idx)                          # (nw, fpb, h, w, 4)
+            outs = jax.vmap(one)(w_idx, w_ords)                  # (nw, fpb, h, w, 4)
             if window_sharding is not None:
                 outs = jax.lax.with_sharding_constraint(
                     outs, window_sharding)
@@ -254,6 +288,7 @@ def sample_video(
         sigmas[:-1], sigmas[1:],
         jnp.asarray(plan.timesteps), jnp.asarray(plan.guidance1),
         jnp.asarray(plan.guidance2), jnp.asarray(plan.guidance3),
+        jnp.asarray(plan.gammas), jnp.arange(n_steps, dtype=jnp.int32),
         jnp.asarray(plan.window_idx),
     )
     latents, _ = jax.lax.scan(step_fn, latents0, xs, length=n_steps)

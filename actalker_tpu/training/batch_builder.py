@@ -159,8 +159,11 @@ class BatchBuilder:
             jnp.broadcast_to(pose_imgs[:, None], (b, f) + pose_imgs.shape[1:])
         )
 
-        am = jnp.asarray(samples[0]["mouth_mask"])[None, None]
-        em = jnp.asarray(samples[0]["exp_mask"])[None, None]
+        # per-sample region masks (B, 1, H, W) — the reference dataset emits
+        # one mouth/exp mask per sample (portrait_audio_dataset_arcface_vasa
+        # .py:725-735); at batch > 1 every sample keeps its own mask
+        am = jnp.asarray(np.stack([s["mouth_mask"] for s in samples]))[:, None]
+        em = jnp.asarray(np.stack([s["exp_mask"] for s in samples]))[:, None]
         mb = jnp.asarray(np.stack([
             [s["motion_bucket"], s["motion_bucket_exp"]] for s in samples
         ], dtype=np.float32))

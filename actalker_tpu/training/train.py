@@ -38,8 +38,8 @@ def synthetic_batches(batch_size: int, frames: int, latent_hw: int,
             audio_tokens=g(batch_size, frames, 32, 1024),
             vasa_tokens=g(batch_size, frames, 1, 1024),
             pose_fea=g(batch_size, frames, hw, hw, c0),
-            audio_mask=jnp.ones((1, 1, hw * 8, hw * 8)),
-            exp_mask=jnp.ones((1, 1, hw * 8, hw * 8)),
+            audio_mask=jnp.ones((batch_size, 1, hw * 8, hw * 8)),
+            exp_mask=jnp.ones((batch_size, 1, hw * 8, hw * 8)),
             motion_buckets=jnp.full((batch_size, 2), 12.0),
             fps=jnp.full((batch_size,), 12.5),
         )
@@ -298,15 +298,6 @@ def main(argv=None):
         for step in range(start_step, min(start_step + args.synthetic or 10**9,
                                           max_steps)):
             batch = next(batches)
-            if multihost:
-                # the region masks are defined as "first sample of the
-                # (global) batch" — make every host agree by broadcasting
-                # host 0's masks before assembly
-                from jax.experimental import multihost_utils as mh
-
-                batch = batch._replace(
-                    audio_mask=mh.broadcast_one_to_all(batch.audio_mask),
-                    exp_mask=mh.broadcast_one_to_all(batch.exp_mask))
             batch = shard_batch(batch, mesh,
                                 global_batch=batch_size if multihost else None)
             key, k = jax.random.split(key)

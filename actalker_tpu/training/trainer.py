@@ -59,8 +59,8 @@ class TrainBatch(NamedTuple):
     audio_tokens: jax.Array   # (B, F, 32, d)
     vasa_tokens: jax.Array    # (B, F, 1, d)
     pose_fea: jax.Array       # (B, F, h, w, c0)
-    audio_mask: jax.Array     # (1, 1, H, W)
-    exp_mask: jax.Array
+    audio_mask: jax.Array     # (B, 1, H, W) per-sample region masks
+    exp_mask: jax.Array       # (B, 1, H, W)
     motion_buckets: jax.Array  # (B, 2) [motion_bucket_id, motion_bucket_id_exp]
     fps: jax.Array            # (B,)
 

@@ -98,3 +98,41 @@ def test_video_fusion_noise_stats():
 def test_random_noise_offset_shape():
     n = random_noise(jax.random.PRNGKey(0), (2, 4, 3, 8, 8), noise_offset=0.1)
     assert n.shape == (2, 4, 3, 8, 8)
+
+
+def test_churn_step_golden():
+    """One churn (gamma > 0) Euler step vs the reference formula
+    (scheduling_euler_discrete.py:147-197) computed independently in numpy."""
+    r = np.random.default_rng(3)
+    sample = r.standard_normal((2, 4, 4)).astype(np.float32)
+    model_out = r.standard_normal((2, 4, 4)).astype(np.float32)
+    noise = r.standard_normal((2, 4, 4)).astype(np.float32)
+    sigma, sigma_next, gamma, s_noise = 1.7, 1.1, 0.25, 0.9
+
+    for pred_type in ("epsilon", "v_prediction"):
+        sigma_hat = sigma * (gamma + 1)
+        churned = sample + noise * s_noise * np.sqrt(sigma_hat**2 - sigma**2)
+        if pred_type == "epsilon":
+            x0 = churned - sigma_hat * model_out
+        else:  # v_prediction uses sigma (not sigma_hat) — reference quirk
+            x0 = model_out * (-sigma / (sigma**2 + 1) ** 0.5) + (
+                churned / (sigma**2 + 1))
+        want = churned + (churned - x0) / sigma_hat * (sigma_next - sigma_hat)
+
+        got = np.asarray(sch.step(
+            jnp.asarray(sample), jnp.asarray(model_out), sigma, sigma_next,
+            pred_type, gamma=gamma, noise=jnp.asarray(noise), s_noise=s_noise,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # gamma passed as a traced scalar with zero value must equal the
+    # deterministic step exactly (the sampler feeds a per-step gamma table)
+    det = np.asarray(sch.step(jnp.asarray(sample), jnp.asarray(model_out),
+                              sigma, sigma_next, "v_prediction"))
+    via_table = np.asarray(jax.jit(
+        lambda g: sch.step(jnp.asarray(sample), jnp.asarray(model_out), sigma,
+                           sigma_next, "v_prediction", gamma=g,
+                           noise=jnp.asarray(noise))
+    )(jnp.float32(0.0)))
+    # jit fusion may reassociate by 1 ulp; semantically the churn term is 0
+    np.testing.assert_allclose(via_table, det, rtol=1e-6, atol=1e-6)
