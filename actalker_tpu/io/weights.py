@@ -46,27 +46,68 @@ def set_in(tree: Dict, path: str, value) -> None:
     tree[parts[-1]] = value
 
 
+# kind -> (torch->flax transform, flax->torch inverse)
+_KINDS = {
+    "linear": (t_linear, t_linear),                        # 2-D transpose
+    "conv2": (t_conv2d, lambda w: np.transpose(w, (3, 2, 0, 1))),
+    "conv3": (t_conv3d, lambda w: np.transpose(w, (4, 3, 0, 1, 2))),
+    "conv1": (t_conv1d, t_conv1d),
+    "raw": (np.asarray, np.asarray),
+}
+
+
+class _CaptureSD:
+    """Stand-in state dict that records the (flax path, torch key, kind)
+    assignments a converter would make, instead of converting — the shared
+    spec that makes every converter invertible (``export_state_dict``).
+
+    ``__contains__`` answers True so every OPTIONAL module's entries are
+    captured; export prunes entries whose flax path is absent from the
+    actual params tree."""
+
+    def __init__(self):
+        self.spec = []  # (flax_path, torch_key, kind)
+
+    def __contains__(self, key) -> bool:
+        return True
+
+    def __getitem__(self, key):  # never materialized in capture mode
+        raise KeyError(key)
+
+
+def _put(dst: Dict, sd: Mapping, path: str, key: str, kind: str = "raw",
+         optional: bool = False) -> None:
+    """One converter assignment: ``dst[path] = fwd_kind(sd[key])``.
+
+    In capture mode (``sd`` is a ``_CaptureSD``) the assignment is recorded
+    rather than executed."""
+    if isinstance(sd, _CaptureSD):
+        sd.spec.append((path, key, kind))
+        return
+    if optional and key not in sd:
+        return
+    set_in(dst, path, _KINDS[kind][0](np.asarray(sd[key])))
+
+
 def _norm(dst: Dict, prefix: str, sd: Mapping, src: str) -> None:
-    set_in(dst, f"{prefix}/scale", np.asarray(sd[f"{src}.weight"]))
-    set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+    _put(dst, sd, f"{prefix}/scale", f"{src}.weight")
+    _put(dst, sd, f"{prefix}/bias", f"{src}.bias")
 
 
 def _linear(dst: Dict, prefix: str, sd: Mapping, src: str, bias=True) -> None:
-    set_in(dst, f"{prefix}/kernel", t_linear(np.asarray(sd[f"{src}.weight"])))
-    if bias and f"{src}.bias" in sd:
-        set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+    _put(dst, sd, f"{prefix}/kernel", f"{src}.weight", "linear")
+    if bias:
+        _put(dst, sd, f"{prefix}/bias", f"{src}.bias", optional=True)
 
 
 def _conv2(dst: Dict, prefix: str, sd: Mapping, src: str) -> None:
-    set_in(dst, f"{prefix}/kernel", t_conv2d(np.asarray(sd[f"{src}.weight"])))
-    if f"{src}.bias" in sd:
-        set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+    _put(dst, sd, f"{prefix}/kernel", f"{src}.weight", "conv2")
+    _put(dst, sd, f"{prefix}/bias", f"{src}.bias", optional=True)
 
 
 def _conv3(dst: Dict, prefix: str, sd: Mapping, src: str) -> None:
-    set_in(dst, f"{prefix}/kernel", t_conv3d(np.asarray(sd[f"{src}.weight"])))
-    if f"{src}.bias" in sd:
-        set_in(dst, f"{prefix}/bias", np.asarray(sd[f"{src}.bias"]))
+    _put(dst, sd, f"{prefix}/kernel", f"{src}.weight", "conv3")
+    _put(dst, sd, f"{prefix}/bias", f"{src}.bias", optional=True)
 
 
 # ---------------------------------------------------------------- attention
@@ -77,11 +118,10 @@ def _attention(dst, prefix, sd, src, num_adapters=0):
     _linear(dst, f"{prefix}/to_v", sd, f"{src}.to_v")
     _linear(dst, f"{prefix}/to_out", sd, f"{src}.to_out.0")
     for i in range(num_adapters):
-        k = f"{src}.processor.to_k_ip.{i}.weight"
-        if k in sd:
-            set_in(dst, f"{prefix}/to_k_ip_{i}/kernel", t_linear(np.asarray(sd[k])))
-            set_in(dst, f"{prefix}/to_v_ip_{i}/kernel",
-                   t_linear(np.asarray(sd[f"{src}.processor.to_v_ip.{i}.weight"])))
+        _put(dst, sd, f"{prefix}/to_k_ip_{i}/kernel",
+             f"{src}.processor.to_k_ip.{i}.weight", "linear", optional=True)
+        _put(dst, sd, f"{prefix}/to_v_ip_{i}/kernel",
+             f"{src}.processor.to_v_ip.{i}.weight", "linear", optional=True)
 
 
 def _feedforward(dst, prefix, sd, src):
@@ -112,7 +152,7 @@ def _temporal_block(dst, prefix, sd, src, num_adapters=2):
 def _ssm_unit(dst, prefix, sd, src):
     for name in ("x_proj_weight", "dt_projs_weight", "dt_projs_bias",
                  "A_logs", "Ds"):
-        set_in(dst, f"{prefix}/{name}", np.asarray(sd[f"{src}.{name}"]))
+        _put(dst, sd, f"{prefix}/{name}", f"{src}.{name}")
 
 
 def _mamba_v10(dst, prefix, sd, src):
@@ -150,8 +190,8 @@ def _st_resblock(dst, prefix, sd, src):
     _resnet2d(dst, f"{prefix}/spatial_res_block", sd, f"{src}.spatial_res_block")
     _resnet_temporal(dst, f"{prefix}/temporal_res_block", sd,
                      f"{src}.temporal_res_block")
-    set_in(dst, f"{prefix}/time_mixer/mix_factor",
-           np.asarray(sd[f"{src}.time_mixer.mix_factor"]))
+    _put(dst, sd, f"{prefix}/time_mixer/mix_factor",
+         f"{src}.time_mixer.mix_factor")
 
 
 def _transformer_st(dst, prefix, sd, src, num_layers=1, mamba=True):
@@ -170,8 +210,8 @@ def _transformer_st(dst, prefix, sd, src, num_layers=1, mamba=True):
         _temporal_block(dst, f"{prefix}/temporal_block_{i}", sd,
                         f"{src}.temporal_transformer_blocks.{i}")
         # reference shares one time_mixer across layers (num_layers == 1)
-        set_in(dst, f"{prefix}/time_mixer_{i}/mix_factor",
-               np.asarray(sd[f"{src}.time_mixer.mix_factor"]))
+        _put(dst, sd, f"{prefix}/time_mixer_{i}/mix_factor",
+             f"{src}.time_mixer.mix_factor")
 
 
 def convert_unet(sd: Mapping[str, np.ndarray],
@@ -281,15 +321,131 @@ def convert_vasa_proj(sd) -> Dict:
     return {"params": dst}
 
 
-def convert_pose_guider(sd) -> Dict:
+def convert_pose_guider(sd, n_blocks: int = None) -> Dict:
     dst: Dict = {}
     _conv2(dst, "conv_in", sd, "conv_in")
     i = 0
-    while f"blocks.{i}.weight" in sd:
+    while (i < n_blocks if n_blocks is not None
+           else f"blocks.{i}.weight" in sd):
         _conv2(dst, f"blocks_{i}", sd, f"blocks.{i}")
         i += 1
     _conv2(dst, "conv_out", sd, "conv_out")
     return {"params": dst}
+
+
+# ----------------------------------------------------- export (flax -> torch)
+
+def _flatten_params(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, Mapping):
+            out.update(_flatten_params(v, p))
+        else:
+            out[p] = np.asarray(v)
+    return out
+
+
+def export_state_dict(convert_fn, params: Mapping, strict: bool = True,
+                      **kwargs) -> Dict[str, np.ndarray]:
+    """Invert a converter: flax params -> reference-keyed torch state dict.
+
+    Re-runs ``convert_fn`` in capture mode to obtain its
+    (flax path, torch key, kind) assignment spec, then replays it backward
+    with the inverse layout transforms. Entries whose flax path is absent
+    from ``params`` are pruned (optional modules); with ``strict`` every
+    param leaf must be covered by the spec. Completes the reference
+    checkpoint contract round trip
+    (``/root/reference/Inference.py:80-142``): a model fine-tuned here can
+    be re-exported to the six ``.pth`` state dicts.
+    """
+    cap = _CaptureSD()
+    convert_fn(cap, **kwargs)
+    tree = params.get("params", params)
+    flat = _flatten_params(tree)
+    sd: Dict[str, np.ndarray] = {}
+    covered = set()
+    for path, key, kind in cap.spec:
+        if path in flat:
+            sd[key] = _KINDS[kind][1](flat[path])
+            covered.add(path)
+    if strict:
+        left = sorted(set(flat) - covered)
+        if left:
+            raise ValueError(
+                f"export spec missed {len(left)} params: {left[:8]}")
+    return sd
+
+
+def _complete_attn_qk(sd: Dict[str, np.ndarray]) -> None:
+    """Fill reference-contract q/k rows the flax tree legitimately lacks.
+
+    Attention over a single-token context is its value row (softmax over one
+    key is identically 1), so the framework never creates ``to_q``/``to_k``
+    (or ``to_k_ip`` for the 1-token vasa adapter) there. The torch contract
+    has those weights; zeros are an exact functional stand-in."""
+    for key in [k for k in sd if k.endswith(".to_v.weight")]:
+        base = key[: -len(".to_v.weight")]
+        if f"{base}.to_q.weight" not in sd:
+            inner = sd[key].shape[0]
+            qdim = sd[f"{base}.to_out.0.weight"].shape[0]
+            sd[f"{base}.to_q.weight"] = np.zeros((inner, qdim), sd[key].dtype)
+        if f"{base}.to_k.weight" not in sd:
+            sd[f"{base}.to_k.weight"] = np.zeros_like(sd[key])
+    for key in [k for k in sd if re.search(r"\.to_v_ip\.\d+\.weight$", k)]:
+        kk = key.replace(".to_v_ip.", ".to_k_ip.")
+        if kk not in sd:
+            sd[kk] = np.zeros_like(sd[key])
+
+
+def export_unet(params: Mapping, **block_kwargs) -> Dict[str, np.ndarray]:
+    """UNet params -> ``unet-<step>.pth``-shaped state dict (includes the
+    IP-adapter ``...processor.to_{k,v}_ip.{i}.weight`` rows, as torch's
+    ``unet.state_dict()`` does once ``add_ip_adapters`` has run)."""
+    sd = export_state_dict(convert_unet, params, **block_kwargs)
+    _complete_attn_qk(sd)
+    return sd
+
+
+def export_adapter_modules(params: Mapping, num_adapters: int = 2,
+                           **block_kwargs) -> Dict[str, np.ndarray]:
+    """UNet params -> ``adapter_module-<step>.pth`` (ModuleList of IP
+    processors in ``attn_processors`` order — inverse of
+    ``load_adapter_modules``)."""
+    tree = params.get("params", params)
+    flat = _flatten_params(tree)
+    sd: Dict[str, np.ndarray] = {}
+    for idx, path in enumerate(ip_adapter_attn2_paths(**block_kwargs)):
+        for i in range(num_adapters):
+            kv = f"{path}/to_v_ip_{i}/kernel"
+            if kv not in flat:
+                continue
+            sd[f"{idx}.to_v_ip.{i}.weight"] = t_linear(flat[kv])
+            kk = f"{path}/to_k_ip_{i}/kernel"
+            # singleton-context adapters never create to_k_ip (value-row
+            # shortcut); zeros are the exact functional stand-in
+            sd[f"{idx}.to_k_ip.{i}.weight"] = (
+                t_linear(flat[kk]) if kk in flat
+                else np.zeros_like(sd[f"{idx}.to_v_ip.{i}.weight"]))
+    return sd
+
+
+def export_audio_proj(params: Mapping) -> Dict[str, np.ndarray]:
+    return export_state_dict(convert_audio_proj, params)
+
+
+def export_id_proj(params: Mapping) -> Dict[str, np.ndarray]:
+    return export_state_dict(convert_id_proj, params)
+
+
+def export_vasa_proj(params: Mapping) -> Dict[str, np.ndarray]:
+    return export_state_dict(convert_vasa_proj, params)
+
+
+def export_pose_guider(params: Mapping) -> Dict[str, np.ndarray]:
+    tree = params.get("params", params)
+    n_blocks = sum(1 for k in tree if str(k).startswith("blocks_"))
+    return export_state_dict(convert_pose_guider, params, n_blocks=n_blocks)
 
 
 def convert_whisper_encoder(sd: Mapping[str, np.ndarray], layers=4) -> Dict:

@@ -95,38 +95,17 @@ def test_unet_converter_covers_flax_tree():
         cond, jnp.zeros((1, 3)),
     )["params"]
 
-    # Build a synthetic torch-style state dict with the right names/shapes by
-    # walking the flax tree in reverse through the converter's name map.
+    # Name coverage via the converter's first-class capture mode: the
+    # assignment spec must contain every flax param path.
     flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
-    # Instead of reversing names (fragile), run the converter on a fake sd
-    # that contains every key it asks for, then diff the trees.
-    class FakeSD(dict):
-        def __contains__(self, k):
-            return True
-
-        def __getitem__(self, k):
-            return np.zeros((1,))
-
-    # neutralize layout transposes: this test checks *name* coverage only
-    import unittest.mock as mock
-
-    with mock.patch.object(W, "t_linear", lambda x: x), \
-         mock.patch.object(W, "t_conv2d", lambda x: x), \
-         mock.patch.object(W, "t_conv3d", lambda x: x), \
-         mock.patch.object(W, "t_conv1d", lambda x: x):
-        converted = W.convert_unet(
-            FakeSD(),
-            down_block_types=("cross", "plain"),
-            up_block_types=("plain", "cross"),
-            layers_per_block=1,
-        )
-    assert converted is not None
-    # every flax param path must have been produced by the converter
-    conv_flat = jax.tree_util.tree_flatten_with_path(converted["params"])[0]
-    conv_paths = {
-        "/".join(str(getattr(k, "key", k)) for k in path)
-        for path, _ in conv_flat
-    }
+    cap = W._CaptureSD()
+    W.convert_unet(
+        cap,
+        down_block_types=("cross", "plain"),
+        up_block_types=("plain", "cross"),
+        layers_per_block=1,
+    )
+    conv_paths = {path for path, _key, _kind in cap.spec}
     missing = []
     for path, leaf in flat:
         p = "/".join(str(getattr(k, "key", k)) for k in path)
