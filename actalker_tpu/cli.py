@@ -25,58 +25,36 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
 
     enable_compilation_cache()
 
-    from actalker_tpu.io import weights as W
-    from actalker_tpu.io.init import init_pipeline_params
+    from actalker_tpu.io.init import convert_checkpoint_params, init_pipeline_params
     from actalker_tpu.models.unet import UNetConfig
     from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
 
     dtype = {"fp16": jnp.bfloat16, "bf16": jnp.bfloat16,
              "fp32": jnp.float32}[cfg.weight_dtype]
     ucfg = UNetConfig(ablate=tuple(cfg.ablate))
-    modules = PipelineModules.create(unet_config=ucfg, dtype=dtype,
-                                     vasa_expression_dim=cfg.vasa_expression_dim)
+    modules = PipelineModules.create(
+        unet_config=ucfg, dtype=dtype,
+        vasa_expression_dim=cfg.vasa_expression_dim,
+        vae_dtype=jnp.bfloat16 if getattr(cfg, "vae_dtype", "fp32") == "bf16"
+        else jnp.float32)
 
-    def have(p):
-        return p and os.path.exists(p)
-
-    if not random_weights and have(cfg.unet_checkpoint_path):
-        params = {}
-        params["unet"] = W.convert_unet(
-            W.load_torch_state_dict(cfg.unet_checkpoint_path))
-        if have(cfg.adapter_module_checkpoint_path):
-            W.load_adapter_modules(
-                params["unet"],
-                W.load_torch_state_dict(cfg.adapter_module_checkpoint_path))
-        params["pose_guider"] = W.convert_pose_guider(
-            W.load_torch_state_dict(cfg.pose_guider_checkpoint_path))
-        params["audio_proj"] = W.convert_audio_proj(
-            W.load_torch_state_dict(cfg.audio_linear_checkpoint_path))
-        params["id_proj"] = W.convert_id_proj(
-            W.load_torch_state_dict(cfg.id_proj_checkpoint_path))
-        params["vasa_proj"] = W.convert_vasa_proj(
-            W.load_torch_state_dict(cfg.vasa_linear_checkpoint_path))
-        vae_path = os.path.join(cfg.pretrained_model_name_or_path, "vae",
-                                "diffusion_pytorch_model.fp16.safetensors")
-        params["vae"] = W.convert_vae(W.load_torch_state_dict(vae_path))
-        wsp = os.path.join(cfg.whisper_model, "pytorch_model.bin")
-        params["whisper"] = W.convert_whisper_encoder(
-            W.load_torch_state_dict(wsp))
-        if have(cfg.vasa_checkpoint_path):
-            import torch
-
-            ck = torch.load(cfg.vasa_checkpoint_path, map_location="cpu",
-                            weights_only=True)
-            gen = {k: v.float().numpy() for k, v in ck["generator"].items()}
-            params["vasa_expression"] = W.convert_vasa_expression(gen)
-            params["vasa_pose"] = W.convert_vasa_pose(
-                {k: v.float().numpy() for k, v in ck["pose_model"].items()})
-    else:
+    converted = None if random_weights else convert_checkpoint_params(cfg)
+    if converted is None:
         print("[actalker_tpu] using random weights "
               "(no checkpoints found or --random-weights)")
+    expected = {"unet", "pose_guider", "audio_proj", "id_proj", "vasa_proj",
+                "vae", "whisper"}
+    if converted is not None and expected <= set(converted):
+        params = converted
+    else:
         params = init_pipeline_params(
             modules, jax.random.PRNGKey(0), image_size=image_hw,
             latent_size=latent_hw, use_eval_shape=True,
         )
+        if converted is not None:
+            print("[actalker_tpu] missing frozen-encoder checkpoints "
+                  f"{sorted(expected - set(converted))}: those stay random")
+            params.update(converted)
     if dtype == jnp.bfloat16:
         from actalker_tpu.io.init import cast_params_bf16
 
@@ -254,7 +232,7 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
         import jax
 
         from actalker_tpu.frontend.enhance import enhance_face
-        from actalker_tpu.frontend.landmarks import YoloFaceLandmarks
+        from actalker_tpu.frontend.landmarks import resolve_landmark_estimator
         from actalker_tpu.io import weights as W
         from actalker_tpu.models.stylegan2 import GPENGenerator
 
@@ -267,7 +245,11 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
         if detector is not None and hasattr(detector, "detect"):
             try:
                 rbox = detect_face(u8, detector) or rbox
-                lm5 = YoloFaceLandmarks(detector)(u8, rbox)
+                # dense RTMPose face head when configured (preferred p1/p2
+                # substitute), else the detector's 5-pt keypoints
+                lm5 = resolve_landmark_estimator(
+                    cfg.det_checkpoint_path, cfg.scrfd_checkpoint_path,
+                    cfg.face_landmark_checkpoint_path)(u8, rbox)
             except Exception:
                 lm5 = None
         enhanced = enhance_face(u8, rbox, bfr_fn, landmarks=lm5)
@@ -373,11 +355,13 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
     flm5 = None
     if ((cfg.use_teeth_enhance or cfg.extras.get("use_bfr_frames"))
             and detector is not None and hasattr(detector, "detect")):
-        from actalker_tpu.frontend.landmarks import YoloFaceLandmarks
+        from actalker_tpu.frontend.landmarks import resolve_landmark_estimator
 
         try:
             f0 = (frames01[0] * 255).round().astype(np.uint8)
-            flm5 = YoloFaceLandmarks(detector)(f0, pre.bbox_ref)
+            flm5 = resolve_landmark_estimator(
+                cfg.det_checkpoint_path, cfg.scrfd_checkpoint_path,
+                cfg.face_landmark_checkpoint_path)(f0, pre.bbox_ref)
         except Exception:
             flm5 = None  # box-prior fallback inside enhance_face
     frames01 = postprocess_frames(cfg, frames01, pre.bbox_ref,

@@ -44,6 +44,10 @@ class InferenceConfig:
     use_teeth_enhance: bool = False
     seed: Optional[int] = 72589
     weight_dtype: str = "bf16"
+    # VAE compute dtype: "fp32" mirrors the reference's VAE upcast
+    # (pipeline 512-515); "bf16" halves decode time/HBM on TPU (>40 dB PSNR
+    # vs fp32, tests/test_vae_parity.py gate)
+    vae_dtype: str = "fp32"
     # model-variant selection: the reference picks _wo_* ablation UNets via
     # the config's unet class key; here any subset of
     # {"audio", "vasa", "id", "ssd", "cross_attn"}
@@ -61,6 +65,9 @@ class InferenceConfig:
     # face-alignment stack (reference AlignImage det_path / scrfd alt,
     # ``src/utils/face_align/align.py:270-274``)
     det_checkpoint_path: str = "checkpoints/yolov5m-face.pth"
+    # dense RTMPose/SimCC face landmark head (preferred substitute for the
+    # reference's p1/p2 TorchScript 94-pt regressors, align.py:23-48)
+    face_landmark_checkpoint_path: str = ""
     scrfd_checkpoint_path: str = "checkpoints/scrfd_10g_bnkps.pth"
     arcface_checkpoint_path: str = "checkpoints/arcface_r50.pth"
     bfr_checkpoint_path: str = ""

@@ -109,14 +109,67 @@ class YoloFaceLandmarks:
         return kpss[int(np.argmax(iw * ih * scores))].astype(np.float32)
 
 
-def resolve_landmark_estimator(det_path: str = "", scrfd_path: str = ""):
-    """Best available 5-pt landmarker, same preference order as
-    ``frontend.face.resolve_face_detector``: learned detect-head keypoints
-    (yoloface, then SCRFD) when converted weights exist, else the cascade
-    part-detector estimator (already a loud-warned degradation at the
-    detector level)."""
+# insightface "2d106det"-layout index groups for reducing a dense face
+# landmark set to the 5-point contract (means over each group); other
+# checkpoints (LaPa-106, WFLW-98) pass their own groups.
+_106_TO_5 = (
+    tuple(range(33, 43)),   # left-eye ring
+    tuple(range(87, 97)),   # right-eye ring
+    (86,),                  # nose tip
+    (52,),                  # left mouth corner
+    (61,),                  # right mouth corner
+)
+
+
+class RTMFaceLandmarker:
+    """Dense 2D face landmarks from an RTMPose/SimCC head — the stand-in for
+    the reference's opaque two-phase TorchScript 94-pt regressors
+    (``src/utils/face_align/align.py:23-48``: 256x256 face crop -> dense
+    points -> 5-pt reduction). Reuses the DWPose stage-2 machinery
+    (``models/rtmpose.py``): same CSPNeXt+SimCC graph at a face
+    configuration (mmpose RTMPose-m "face6": widen .75 / deepen .67,
+    106 keypoints, 256x256 input), same top-down affine crop and SimCC
+    argmax decode. ``__call__`` keeps the (image, box) -> (5, 2) estimator
+    contract; ``dense()`` exposes all K points."""
+
+    def __init__(self, params, widen: float = 0.75, deepen: float = 0.67,
+                 num_keypoints: int = 106,
+                 input_size: Tuple[int, int] = (256, 256),
+                 to5=_106_TO_5, cfg=None):
+        from actalker_tpu.models.rtmpose import RTMPoseConfig, RTMPoseWholebody
+
+        cfg = cfg or RTMPoseConfig(widen=widen, deepen=deepen,
+                                   num_keypoints=num_keypoints,
+                                   input_size=input_size)
+        self.engine = RTMPoseWholebody(params, cfg)
+        self.to5 = to5
+
+    def dense(self, image: np.ndarray, face_box: Box):
+        """(K, 2) landmarks in original-image pixels + (K,) scores."""
+        kpts, scores = self.engine(image[..., ::-1], [list(face_box)])
+        return kpts[0], scores[0]
+
+    def __call__(self, image: np.ndarray, face_box: Box) -> np.ndarray:
+        kpts, _ = self.dense(image, face_box)
+        return np.stack([kpts[list(g)].mean(axis=0) for g in self.to5]
+                        ).astype(np.float32)
+
+
+def resolve_landmark_estimator(det_path: str = "", scrfd_path: str = "",
+                               face_landmark_path: str = ""):
+    """Best available landmarker: a dense RTMPose face head when its
+    converted checkpoint exists (the preferred substitute for the
+    reference's p1/p2 94-pt regressors), then learned detect-head keypoints
+    (yoloface, then SCRFD), else the cascade part-detector estimator
+    (already a loud-warned degradation at the detector level)."""
     import os
 
+    if face_landmark_path and os.path.exists(face_landmark_path):
+        from actalker_tpu.io.weights import load_torch_state_dict
+        from actalker_tpu.models.rtmpose import convert_rtmpose
+
+        return RTMFaceLandmarker(
+            convert_rtmpose(load_torch_state_dict(face_landmark_path)))
     if ((det_path and os.path.exists(det_path))
             or (scrfd_path and os.path.exists(scrfd_path))):
         from actalker_tpu.frontend.face import resolve_face_detector

@@ -47,6 +47,61 @@ def cast_params_bf16(tree: Any) -> Any:
     return jax.tree_util.tree_map_with_path(cast, tree)
 
 
+def convert_checkpoint_params(cfg, unet_kwargs=None) -> "Dict[str, Any] | None":
+    """Build the pipeline params dict from the reference's on-disk artifacts
+    (the six ``.pth`` checkpoint contract ``Inference.py:80-142`` plus the
+    SVD-XT VAE and whisper-tiny). Returns None when the UNet checkpoint is
+    absent (this environment ships no weights); optional frozen encoders
+    (VAE / whisper / VASA towers) are included only when their files exist
+    — callers merge over a random-init base. Shared by the inference CLI
+    and the trainer, so training fine-tunes the *actual* converted model
+    when weights exist."""
+    import os
+
+    from actalker_tpu.io import weights as W
+
+    def have(p):
+        return p and os.path.exists(p)
+
+    if not have(getattr(cfg, "unet_checkpoint_path", None)):
+        return None
+    params = {}
+    params["unet"] = W.convert_unet(
+        W.load_torch_state_dict(cfg.unet_checkpoint_path),
+        **(unet_kwargs or {}))
+    if have(cfg.adapter_module_checkpoint_path):
+        W.load_adapter_modules(
+            params["unet"],
+            W.load_torch_state_dict(cfg.adapter_module_checkpoint_path),
+            **(unet_kwargs or {}))
+    params["pose_guider"] = W.convert_pose_guider(
+        W.load_torch_state_dict(cfg.pose_guider_checkpoint_path))
+    params["audio_proj"] = W.convert_audio_proj(
+        W.load_torch_state_dict(cfg.audio_linear_checkpoint_path))
+    params["id_proj"] = W.convert_id_proj(
+        W.load_torch_state_dict(cfg.id_proj_checkpoint_path))
+    params["vasa_proj"] = W.convert_vasa_proj(
+        W.load_torch_state_dict(cfg.vasa_linear_checkpoint_path))
+    vae_path = os.path.join(cfg.pretrained_model_name_or_path or "", "vae",
+                            "diffusion_pytorch_model.fp16.safetensors")
+    if os.path.exists(vae_path):
+        params["vae"] = W.convert_vae(W.load_torch_state_dict(vae_path))
+    wsp = os.path.join(cfg.whisper_model or "", "pytorch_model.bin")
+    if os.path.exists(wsp):
+        params["whisper"] = W.convert_whisper_encoder(
+            W.load_torch_state_dict(wsp))
+    if have(cfg.vasa_checkpoint_path):
+        import torch
+
+        ck = torch.load(cfg.vasa_checkpoint_path, map_location="cpu",
+                        weights_only=True)
+        gen = {k: v.float().numpy() for k, v in ck["generator"].items()}
+        params["vasa_expression"] = W.convert_vasa_expression(gen)
+        params["vasa_pose"] = W.convert_vasa_pose(
+            {k: v.float().numpy() for k, v in ck["pose_model"].items()})
+    return params
+
+
 def init_pipeline_params(
     modules,
     key: jax.Array,

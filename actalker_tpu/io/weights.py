@@ -255,6 +255,17 @@ def convert_unet(sd: Mapping[str, np.ndarray],
     return {"params": dst}
 
 
+def unet_block_kwargs(cfg) -> Dict:
+    """convert_unet/export_unet block-layout kwargs from a ``UNetConfig``
+    (flagship default, micro/tiny test layouts)."""
+    kind = lambda t: "cross" if t.startswith("CrossAttn") else "plain"
+    return dict(
+        down_block_types=tuple(kind(t) for t in cfg.down_block_types),
+        up_block_types=tuple(kind(t) for t in cfg.up_block_types),
+        layers_per_block=cfg.layers_per_block,
+    )
+
+
 def ip_adapter_attn2_paths(down_block_types=("cross", "cross", "cross", "plain"),
                            up_block_types=("plain", "cross", "cross", "cross"),
                            layers_per_block=2) -> list:

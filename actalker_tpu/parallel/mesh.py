@@ -8,14 +8,18 @@ DeepSpeed ZeRO-2 over NCCL, ``ds_zero2_8gpu.yaml``; FSDP named in
     tp — tensor parallel (attention heads / MLP hidden / conv channels)
 
 Parameters are sharded by path-based rules (GSPMD propagates activation
-shardings and inserts ICI collectives); optimizer state inherits the param
-sharding and is additionally sharded over dp on the largest axis (ZeRO-like).
-A 1-device mesh is the degenerate case used on the single bench chip.
+shardings and inserts ICI collectives). Optimizer state goes through
+``shard_opt_state`` — the ZeRO-2 equivalent of the reference's
+``ds_zero2_8gpu.yaml:3-12``: every large moment/accumulator leaf is
+partitioned over dp along its largest free axis, so Adam state holds
+1/dp of its bytes per chip while params stay dp-replicated (ZeRO-2 shards
+optimizer state + grads, not params). A 1-device mesh is the degenerate
+case used on the single bench chip.
 """
 from __future__ import annotations
 
 import re
-from typing import Any, Optional, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -88,6 +92,68 @@ def shard_params(params: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def opt_state_pspec(path: str, shape: Tuple[int, ...], mesh: Mesh,
+                    min_size: int = 2**14) -> P:
+    """ZeRO-2 PartitionSpec for one optimizer-state leaf.
+
+    Start from the param's tp spec (moment paths embed the param path), then
+    partition the largest still-unsharded, dp-divisible axis over dp. Small
+    leaves (and scalars like step counts) stay replicated.
+    """
+    if not shape or int(np.prod(shape)) < min_size:
+        return P()
+    base = param_pspec(path, shape, min_size)
+    names = list(base) + [None] * (len(shape) - len(base))
+    names = [n if n is not None and shape[i] % mesh.shape[n] == 0 else None
+             for i, n in enumerate(names)]
+    dp = mesh.shape["dp"]
+    if dp > 1:
+        free = [i for i, n in enumerate(names)
+                if n is None and shape[i] % dp == 0 and shape[i] >= dp]
+        if free:
+            names[max(free, key=lambda i: shape[i])] = "dp"
+    return P(*names) if any(n is not None for n in names) else P()
+
+
+def opt_state_shardings(opt_state: Any, mesh: Mesh,
+                        min_size: int = 2**14) -> Any:
+    """NamedSharding tree for ``shard_opt_state`` (works on ShapeDtypeStructs
+    from ``jax.eval_shape(tx.init, params)`` too — used for memory math)."""
+
+    def spec(path, x):
+        return NamedSharding(mesh, opt_state_pspec(
+            tree_path_str(path), tuple(getattr(x, "shape", ())), mesh,
+            min_size))
+
+    return jax.tree_util.tree_map_with_path(spec, opt_state)
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh, min_size: int = 2**14) -> Any:
+    """Apply ZeRO-2-equivalent dp sharding to an optax state pytree.
+
+    Covers Adam mu/nu, the fp32 grad-accumulation buffers of
+    ``optax.MultiSteps`` (all param-shaped, reached through their embedded
+    param paths), and leaves counters replicated. Keep the returned
+    shardings as the train step's ``out_shardings`` so jit preserves them.
+    """
+    return jax.tree.map(jax.device_put, opt_state,
+                        opt_state_shardings(opt_state, mesh, min_size))
+
+
+def per_device_bytes(tree: Any, shardings: Any) -> int:
+    """Bytes one device holds for ``tree`` (arrays or ShapeDtypeStructs)
+    under ``shardings`` — the ZeRO memory-fit check without materializing."""
+    total = 0
+    for x, s in zip(jax.tree.leaves(tree), jax.tree.leaves(
+            shardings, is_leaf=lambda l: isinstance(l, NamedSharding))):
+        shard = 1
+        for name in s.spec:
+            if name is not None:
+                shard *= s.mesh.shape[name]
+        total += int(np.prod(x.shape)) * x.dtype.itemsize // shard
+    return total
 
 
 # Batch fields replicated regardless of shape. Region masks are per-sample

@@ -60,11 +60,16 @@ class PipelineModules:
     @classmethod
     def create(cls, unet_config: Optional[UNetConfig] = None,
                vae_config: Optional[VAEConfig] = None,
-               dtype=jnp.bfloat16, vasa_expression_dim: int = 1018):
+               dtype=jnp.bfloat16, vasa_expression_dim: int = 1018,
+               vae_dtype=jnp.float32):
+        """``vae_dtype``: fp32 by default (the reference upcasts its VAE,
+        pipeline 512-515). bf16 halves VAE decode time/HBM on TPU at >40 dB
+        PSNR vs fp32 (tests/test_vae_parity.py PSNR gate) — the CLI exposes
+        it as ``vae_dtype: bf16``."""
         return cls(
             unet=UNetSpatioTemporalCondition(unet_config or UNetConfig(), dtype=dtype),
             vae=AutoencoderKLTemporalDecoder(vae_config or VAEConfig(),
-                                             dtype=jnp.float32),
+                                             dtype=vae_dtype),
             audio_proj=AudioProjModel(dtype=jnp.float32),
             id_proj=IDProjModel(dtype=jnp.float32),
             vasa_proj=VasaProjModel(output_dim=vasa_expression_dim,

@@ -35,7 +35,8 @@ log = get_logger("batch_builder")
 
 class BatchBuilder:
     def __init__(self, pipe, fps: float = 12.5,
-                 arcface: Optional[Tuple[Any, Any]] = None):
+                 arcface: Optional[Tuple[Any, Any]] = None,
+                 raw_heads: bool = False):
         """``pipe``: an ACTalkerPipeline (modules + params).
 
         ``arcface``: optional (module, params) mapping (B, 112, 112, 3)
@@ -43,15 +44,25 @@ class BatchBuilder:
         precomputed ``id_embed`` in the samples) identity conditioning is a
         zero embedding — mirrors the CLI's loud degrade when ArcFace weights
         are absent.
+
+        ``raw_heads``: emit the trainable heads' *inputs* (whisper feature
+        windows / ArcFace embedding / VASA expression+rotation / pose
+        pixels) instead of projected tokens, so the train step runs
+        AudioProj/IDProj/VasaProj/PoseGuider inside the differentiable graph
+        and fine-tunes all six reference artifacts. Frozen encoders (VAE,
+        whisper, VASA towers, ArcFace) still run here on the loader side.
         """
         self.pipe = pipe
         self.fps = fps
+        self.raw_heads = raw_heads
         m = pipe.m
         self._encode = jax.jit(lambda x: m.vae.apply(
             pipe.params["vae"], x, method=AutoencoderKLTemporalDecoder.encode))
         self._pose = jax.jit(lambda x: m.pose_guider.apply(
             pipe.params["pose_guider"], x))
         self._idp = jax.jit(lambda e: m.id_proj.apply(pipe.params["id_proj"], e))
+        self._aproj = jax.jit(
+            lambda w: m.audio_proj.apply(pipe.params["audio_proj"], w))
         self._arc = (jax.jit(lambda x: arcface[0].apply(arcface[1], x))
                      if arcface is not None else None)
         self._warned: set = set()
@@ -72,15 +83,11 @@ class BatchBuilder:
             "conditioning is a zero embedding")
         return np.zeros((len(samples), 512), np.float32)
 
-    def _audio_tokens(self, s: Dict[str, Any], f: int) -> np.ndarray:
-        if "audio_tokens" in s:
-            return np.asarray(s["audio_tokens"], np.float32)
+    def _audio_windows(self, s: Dict[str, Any], f: int) -> Optional[np.ndarray]:
+        """Per-frame (f, 10, 5, 384) whisper-state windows, or None."""
         mel = s.get("audio_features")
         if mel is None:
-            self._warn_once(
-                "audio", "samples carry no audio_features mel / "
-                "audio_tokens: audio conditioning is zero")
-            return np.zeros((f, 32, 1024), np.float32)
+            return None
         # mel -> whisper states, zero padding 4 front / 6 back, then
         # per-frame 10x5x384 windows starting at the sampled clip offset
         # (2 feature frames per video frame at the RAW 25 fps; the clip's
@@ -119,8 +126,19 @@ class BatchBuilder:
             feats = np.concatenate(
                 [feats, np.zeros((need - len(feats),) + feats.shape[1:],
                                  feats.dtype)], axis=0)
-        cond, _ = self.pipe.audio_tokens_per_frame(feats, f, step=step)
-        return np.asarray(cond)
+        return np.stack(
+            [feats[i * 2 * step: i * 2 * step + 10] for i in range(f)])
+
+    def _audio_tokens(self, s: Dict[str, Any], f: int) -> np.ndarray:
+        if "audio_tokens" in s:
+            return np.asarray(s["audio_tokens"], np.float32)
+        windows = self._audio_windows(s, f)
+        if windows is None:
+            self._warn_once(
+                "audio", "samples carry no audio_features mel / "
+                "audio_tokens: audio conditioning is zero")
+            return np.zeros((f, 32, 1024), np.float32)
+        return np.asarray(self._aproj(jnp.asarray(windows)[None])[0])
 
     def _vasa_tokens(self, s: Dict[str, Any], f: int) -> np.ndarray:
         if "vasa_tokens" in s:
@@ -137,6 +155,21 @@ class BatchBuilder:
             "expression conditioning is zero")
         return np.zeros((f, 1, 1024), np.float32)
 
+    def _vasa_raw(self, s: Dict[str, Any], f: int):
+        """Raw (expr (f, 512), rot (f, 3)) from the frozen VASA towers; zeros
+        when the sample carries no driving crops (projection of zeros ==
+        the pipeline's uncond branch)."""
+        if ("vasa_face" in s and "vasa_pose" in s
+                and "vasa_expression" in self.pipe.params):
+            expr, rot = self.pipe.encode_vasa_video(
+                np.asarray(s["vasa_face"], np.float32),
+                np.asarray(s["vasa_pose"], np.float32))
+            return np.asarray(expr, np.float32), np.asarray(rot, np.float32)
+        self._warn_once(
+            "vasa", "no VASA tower params / driving crops: expression "
+            "conditioning is zero")
+        return np.zeros((f, 512), np.float32), np.zeros((f, 3), np.float32)
+
     def __call__(self, samples: list[Dict[str, Any]]) -> TrainBatch:
         scale = self.pipe.m.vae.config.scaling_factor
         frames = jnp.asarray(np.stack([s["frames"] for s in samples]))
@@ -146,18 +179,38 @@ class BatchBuilder:
         refs = jnp.asarray(np.stack([s["ref_frame"] for s in samples]))
         ref_latents = self._encode(refs)  # unscaled (channel-concat cond)
 
-        id_tokens = self._idp(jnp.asarray(self._id_embeds(samples)))[:, None, :]
-        audio_tokens = jnp.asarray(
-            np.stack([self._audio_tokens(s, f) for s in samples]))
-        vasa_tokens = jnp.asarray(
-            np.stack([self._vasa_tokens(s, f) for s in samples]))
-
         pose_imgs = jnp.asarray(np.stack([
             np.repeat(s["pose_mask"][..., None], 3, axis=-1) for s in samples
         ]))  # (B, H, W, 3)
-        pose_fea = self._pose(
-            jnp.broadcast_to(pose_imgs[:, None], (b, f) + pose_imgs.shape[1:])
-        )
+
+        fields: Dict[str, Any] = {}
+        if self.raw_heads:
+            # trainable-head inputs; the train step projects them in-graph
+            raw_ok = all("audio_tokens" not in s and "vasa_tokens" not in s
+                         for s in samples)
+            if not raw_ok:
+                self._warn_once(
+                    "raw", "raw_heads=True but samples carry pre-encoded "
+                    "tokens; falling back to UNet-only conditioning fields")
+            else:
+                zeros_w = np.zeros((f, 10, 5, 384), np.float32)
+                fields["audio_feats"] = jnp.asarray(np.stack([
+                    (lambda w: zeros_w if w is None else w)(
+                        self._audio_windows(s, f)) for s in samples]))
+                fields["id_embed"] = jnp.asarray(self._id_embeds(samples))
+                vr = [self._vasa_raw(s, f) for s in samples]
+                fields["vasa_expr"] = jnp.asarray(np.stack([e for e, _ in vr]))
+                fields["vasa_rot"] = jnp.asarray(np.stack([r for _, r in vr]))
+                fields["pose_pixels"] = pose_imgs
+        if not fields:
+            fields["id_tokens"] = self._idp(
+                jnp.asarray(self._id_embeds(samples)))[:, None, :]
+            fields["audio_tokens"] = jnp.asarray(
+                np.stack([self._audio_tokens(s, f) for s in samples]))
+            fields["vasa_tokens"] = jnp.asarray(
+                np.stack([self._vasa_tokens(s, f) for s in samples]))
+            fields["pose_fea"] = self._pose(jnp.broadcast_to(
+                pose_imgs[:, None], (b, f) + pose_imgs.shape[1:]))
 
         # per-sample region masks (B, 1, H, W) — the reference dataset emits
         # one mouth/exp mask per sample (portrait_audio_dataset_arcface_vasa
@@ -168,9 +221,9 @@ class BatchBuilder:
             [s["motion_bucket"], s["motion_bucket_exp"]] for s in samples
         ], dtype=np.float32))
         return TrainBatch(
-            latents=latents, ref_latents=ref_latents, id_tokens=id_tokens,
-            audio_tokens=audio_tokens, vasa_tokens=vasa_tokens,
-            pose_fea=pose_fea, audio_mask=am, exp_mask=em,
+            latents=latents, ref_latents=ref_latents,
+            audio_mask=am, exp_mask=em,
             motion_buckets=mb, fps=jnp.asarray(
                 [float(s.get("fps", self.fps)) for s in samples], jnp.float32),
+            **fields,
         )

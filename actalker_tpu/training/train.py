@@ -21,58 +21,64 @@ from typing import Iterator
 import numpy as np
 
 
+# The reference's six trainable artifacts (checkpoint contract
+# ``Inference.py:80-142``; adapter to_k_ip/to_v_ip live inside the unet tree
+# and export separately via export_adapter_modules).
+TRAINABLE = ("unet", "pose_guider", "audio_proj", "id_proj", "vasa_proj")
+
+
 def synthetic_batches(batch_size: int, frames: int, latent_hw: int,
-                      c0: int, seed: int = 0) -> Iterator:
+                      c0: int, seed: int = 0, raw_heads: bool = True,
+                      pixel_hw: int = None) -> Iterator:
     import jax.numpy as jnp
 
     from actalker_tpu.training.trainer import TrainBatch
 
     rng = np.random.default_rng(seed)
     hw = latent_hw
+    px = pixel_hw or hw * 8
     while True:
         g = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        if raw_heads:
+            fields = dict(
+                audio_feats=g(batch_size, frames, 10, 5, 384),
+                id_embed=g(batch_size, 512),
+                vasa_expr=g(batch_size, frames, 512),
+                vasa_rot=g(batch_size, frames, 3),
+                pose_pixels=g(batch_size, px, px, 3),
+            )
+        else:
+            fields = dict(
+                id_tokens=g(batch_size, 1, 1024),
+                audio_tokens=g(batch_size, frames, 32, 1024),
+                vasa_tokens=g(batch_size, frames, 1, 1024),
+                pose_fea=g(batch_size, frames, hw, hw, c0),
+            )
         yield TrainBatch(
             latents=g(batch_size, frames, hw, hw, 4),
             ref_latents=g(batch_size, hw, hw, 4),
-            id_tokens=g(batch_size, 1, 1024),
-            audio_tokens=g(batch_size, frames, 32, 1024),
-            vasa_tokens=g(batch_size, frames, 1, 1024),
-            pose_fea=g(batch_size, frames, hw, hw, c0),
-            audio_mask=jnp.ones((batch_size, 1, hw * 8, hw * 8)),
-            exp_mask=jnp.ones((batch_size, 1, hw * 8, hw * 8)),
+            audio_mask=jnp.ones((batch_size, 1, px, px)),
+            exp_mask=jnp.ones((batch_size, 1, px, px)),
             motion_buckets=jnp.full((batch_size, 2), 12.0),
             fps=jnp.full((batch_size,), 12.5),
+            **fields,
         )
 
 
-def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
-                 dtype, num_workers: int = 4, start: int = 0,
-                 stride=None, arcface_ckpt=None) -> Iterator:
+def real_batches(pipe, metadata_paths, batch_size, frames, image_size,
+                 num_workers: int = 4, start: int = 0,
+                 stride=None, arcface_ckpt=None,
+                 raw_heads: bool = True) -> Iterator:
     """Metadata-driven training batches: dataset -> encoders -> TrainBatch.
 
-    Encoder weights (VAE / pose guider / id proj) come from configured
-    checkpoints via the CLI converters when available; here they are whatever
-    the pipeline params hold (random for from-scratch feasibility runs —
-    fine-tuning real SVD weights requires the converted checkpoint set).
+    ``pipe`` holds the training run's OWN params (converted checkpoints when
+    configured, random otherwise), so the frozen encoders (VAE, whisper,
+    VASA towers) the builder runs are the same weights the train step
+    optimizes against.
     """
-    import jax
-
     from actalker_tpu.frontend import video as V
-    from actalker_tpu.io.init import init_pipeline_params
-    from actalker_tpu.models.vae import VAEConfig
-    from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
     from actalker_tpu.training.batch_builder import BatchBuilder
     from actalker_tpu.training.data import DataConfig, PortraitAudioDataset, load_metadata
-
-    modules = PipelineModules.create(unet_config=ucfg, vae_config=VAEConfig(),
-                                     dtype=dtype)
-    params = init_pipeline_params(
-        modules, jax.random.PRNGKey(0),
-        image_size=(image_size, image_size),
-        latent_size=(image_size // 8, image_size // 8),
-        use_eval_shape=True,
-    )
-    pipe = ACTalkerPipeline(modules, params, dtype=dtype)
 
     arcface = None
     if arcface_ckpt:
@@ -84,7 +90,7 @@ def real_batches(metadata_paths, batch_size, frames, image_size, ucfg,
 
             arcface = (iresnet50(), W.convert_arcface(
                 W.load_torch_state_dict(arcface_ckpt)))
-    builder = BatchBuilder(pipe, arcface=arcface)
+    builder = BatchBuilder(pipe, arcface=arcface, raw_heads=raw_heads)
 
     def frame_reader(path, idxs):
         fr = V.read_frames(path, limit=max(idxs) + 1)
@@ -135,6 +141,9 @@ def main(argv=None):
                         help="use the micro UNet (CI / smoke)")
     parser.add_argument("--dp", type=int, default=None)
     parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--export-reference", type=str, default=None,
+                        help="after training, export the six reference-"
+                             "contract .pth artifacts to this directory")
     args = parser.parse_args(argv)
 
     # multi-host (pod) wiring must precede any backend use; a no-op on a
@@ -157,10 +166,11 @@ def main(argv=None):
 
     from actalker_tpu.io.checkpoint import (
         checkpoint_keys, latest_checkpoint, restore_checkpoint, save_checkpoint)
-    from actalker_tpu.io.init import random_like
-    from actalker_tpu.models.conditioning import Conditioning
-    from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
-    from actalker_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from actalker_tpu.io.init import convert_checkpoint_params, init_pipeline_params
+    from actalker_tpu.models.unet import UNetConfig
+    from actalker_tpu.parallel.mesh import (
+        make_mesh, shard_batch, shard_opt_state, shard_params)
+    from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
     from actalker_tpu.training import trainer as T
     from actalker_tpu.utils.observability import MetricsEmitter, get_logger
 
@@ -198,7 +208,6 @@ def main(argv=None):
     if args.micro_model:
         ucfg = ucfg.micro()
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    unet = UNetSpatioTemporalCondition(ucfg, dtype=dtype)
 
     if args.micro_model:
         image_size = 64
@@ -208,22 +217,46 @@ def main(argv=None):
     latent_hw = image_size // 8
     c0 = ucfg.block_out_channels[0]
 
-    cond = Conditioning(
-        id_tokens=jnp.zeros((frames, 1, 1024)),
-        audio_tokens=jnp.zeros((frames, 32, 1024)),
-        vasa_tokens=jnp.zeros((frames, 1, 1024)),
-        audio_mask=jnp.ones((1, 1, latent_hw, latent_hw)),
-        exp_mask=jnp.ones((1, 1, latent_hw, latent_hw)),
-    )
-    shapes = jax.eval_shape(
-        unet.init, jax.random.PRNGKey(0),
-        jnp.zeros((1, frames, latent_hw, latent_hw, 8), dtype), 0.5, cond,
-        jnp.zeros((1, 3), dtype),
-    )
-    params = random_like(shapes)
+    # full module bundle: the trainable artifacts plus the frozen encoders
+    # (VAE / whisper / VASA towers) the data builder runs.
+    modules = PipelineModules.create(unet_config=ucfg, dtype=dtype)
+    from types import SimpleNamespace
+
+    ckpt_cfg = SimpleNamespace(
+        pretrained_model_name_or_path="", unet_checkpoint_path="",
+        pose_guider_checkpoint_path="", audio_linear_checkpoint_path="",
+        adapter_module_checkpoint_path="", id_proj_checkpoint_path="",
+        vasa_linear_checkpoint_path="", vasa_checkpoint_path="",
+        whisper_model="")
+    for k, v in (cfg.get("checkpoints", {}) or {}).items():
+        setattr(ckpt_cfg, k, v)
+    from actalker_tpu.io.weights import unet_block_kwargs
+
+    converted = convert_checkpoint_params(
+        ckpt_cfg, unet_kwargs=unet_block_kwargs(ucfg))
+    full_params = init_pipeline_params(
+        modules, jax.random.PRNGKey(0),
+        image_size=(image_size, image_size),
+        latent_size=(latent_hw, latent_hw), use_eval_shape=True)
+    if converted is None:
+        log.info("no converted checkpoints configured; random init "
+                 "(fine-tuning the reference model needs cfg['checkpoints'])")
+    else:
+        full_params.update(converted)
+        log.info("initialized from converted reference checkpoints: %s",
+                 sorted(converted))
+    pipe = ACTalkerPipeline(modules, full_params, dtype=dtype)
+    # the reference's full_ft artifact set (train.yaml:48); the adapter
+    # to_k_ip/to_v_ip branches train as part of the unet tree
+    params = {k: full_params[k] for k in TRAINABLE if k in full_params}
+    applies = {"unet": modules.unet.apply,
+               "pose_guider": modules.pose_guider.apply,
+               "audio_proj": modules.audio_proj.apply,
+               "id_proj": modules.id_proj.apply,
+               "vasa_proj": modules.vasa_proj.apply}
 
     tx = T.make_optimizer(tcfg)
-    step_fn = T.make_train_step(unet.apply, tx, tcfg, dtype=dtype)
+    step_fn = T.make_train_step(applies, tx, tcfg, dtype=dtype)
 
     import os
 
@@ -236,7 +269,9 @@ def main(argv=None):
     start_step = 0
     with jax.set_mesh(mesh):
         params = shard_params(params, mesh)
-        opt_state = tx.init(params)
+        # ZeRO-2 equivalent (reference ds_zero2_8gpu.yaml:3-12): Adam
+        # moments + grad-accum buffers sharded 1/dp per chip
+        opt_state = shard_opt_state(tx.init(params), mesh)
         use_ema = bool(cfg.get("use_ema", False))
         ema_restored = None
         last = latest_checkpoint(out_dir)
@@ -253,7 +288,15 @@ def main(argv=None):
             ema_restored = restored.get("ema")
             start_step = last
 
-        jstep = jax.jit(step_fn)
+        # pin param/opt-state shardings across the jitted step so the
+        # ZeRO partitioning survives GSPMD propagation; donate the old
+        # buffers (in-place update, halves peak optimizer HBM)
+        jstep = jax.jit(
+            step_fn,
+            out_shardings=(jax.tree.map(lambda x: x.sharding, params),
+                           jax.tree.map(lambda x: x.sharding, opt_state),
+                           None),
+            donate_argnums=(0, 1))
         max_steps = args.steps or int(solver.get("max_train_steps", 250000))
         ckpt_every = int(cfg.get("checkpointing_steps", 2000))
         total_limit = int(cfg.get("total_limit", 3))
@@ -263,7 +306,7 @@ def main(argv=None):
                                         seed=jax.process_index())
         elif args.metadata:
             batches = real_batches(
-                args.metadata, local_bs, frames, image_size, ucfg, dtype,
+                pipe, args.metadata, local_bs, frames, image_size,
                 num_workers=int(data_cfg.get("num_workers", 4)),
                 start=jax.process_index() * local_bs,
                 stride=batch_size,
@@ -312,10 +355,45 @@ def main(argv=None):
             if ckpt_every and (step + 1) % ckpt_every == 0:
                 save_checkpoint(out_dir, step + 1, ckpt_tree(),
                                 total_limit=total_limit)
-        save_checkpoint(out_dir, min(start_step + (args.synthetic or 0),
-                                     max_steps), ckpt_tree(),
+        final_step = min(start_step + (args.synthetic or 0), max_steps)
+        save_checkpoint(out_dir, final_step, ckpt_tree(),
                         total_limit=total_limit)
+    if args.export_reference and jax.process_index() == 0:
+        export_reference_checkpoint(params, args.export_reference, final_step,
+                                    ucfg=ucfg)
+        log.info("exported reference-contract artifacts to %s",
+                 args.export_reference)
     log.info("done")
+
+
+def export_reference_checkpoint(params, out_dir: str, step: int,
+                                ucfg=None) -> None:
+    """Write the six reference checkpoint artifacts
+    ({unet,pose_guider,audio_linear,adapter_module,id_proj_model,
+    vasa_linear}-<step>.pth — ``Inference.py:80-142``) from a trained
+    param-tree dict, so a model fine-tuned here round-trips into the
+    reference stack."""
+    import os
+
+    import jax
+    import torch
+
+    from actalker_tpu.io import weights as W
+
+    os.makedirs(out_dir, exist_ok=True)
+    bk = W.unet_block_kwargs(ucfg) if ucfg is not None else {}
+    host = jax.tree.map(lambda x: np.array(x, np.float32), params)
+    arts = {
+        "unet": W.export_unet(host["unet"], **bk),
+        "adapter_module": W.export_adapter_modules(host["unet"], **bk),
+        "pose_guider": W.export_pose_guider(host["pose_guider"]),
+        "audio_linear": W.export_audio_proj(host["audio_proj"]),
+        "id_proj_model": W.export_id_proj(host["id_proj"]),
+        "vasa_linear": W.export_vasa_proj(host["vasa_proj"]),
+    }
+    for name, sd in arts.items():
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+                   os.path.join(out_dir, f"{name}-{step}.pth"))
 
 
 if __name__ == "__main__":

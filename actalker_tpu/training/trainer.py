@@ -51,18 +51,36 @@ class TrainConfig:
 
 
 class TrainBatch(NamedTuple):
-    """One training example batch (latents precomputed by the data pipeline)."""
+    """One training example batch (latents precomputed by the data pipeline).
+
+    Two conditioning contracts:
+      * **raw** (fine-tuning the full artifact set): ``audio_feats`` /
+        ``id_embed`` / ``vasa_expr`` + ``vasa_rot`` / ``pose_pixels`` carry
+        the *inputs* of the trainable heads (AudioProj / IDProj / VasaProj /
+        PoseGuider), which then run inside the differentiable train step so
+        their gradients flow — the reference fine-tunes all six artifacts
+        (``full_ft``, checkpoint contract ``Inference.py:80-142``).
+      * **pre-encoded** (legacy / UNet-only): ``*_tokens`` / ``pose_fea``
+        carry already-projected conditioning; only the UNet gets gradients.
+    A raw field set to an array takes precedence over its pre-encoded twin.
+    """
 
     latents: jax.Array        # (B, F, h, w, 4) clean video latents (scaled)
     ref_latents: jax.Array    # (B, h, w, 4) unscaled ref latent (concat cond)
-    id_tokens: jax.Array      # (B, 1, d)
-    audio_tokens: jax.Array   # (B, F, 32, d)
-    vasa_tokens: jax.Array    # (B, F, 1, d)
-    pose_fea: jax.Array       # (B, F, h, w, c0)
-    audio_mask: jax.Array     # (B, 1, H, W) per-sample region masks
-    exp_mask: jax.Array       # (B, 1, H, W)
-    motion_buckets: jax.Array  # (B, 2) [motion_bucket_id, motion_bucket_id_exp]
-    fps: jax.Array            # (B,)
+    id_tokens: Optional[jax.Array] = None    # (B, 1, d)
+    audio_tokens: Optional[jax.Array] = None  # (B, F, 32, d)
+    vasa_tokens: Optional[jax.Array] = None   # (B, F, 1, d)
+    pose_fea: Optional[jax.Array] = None      # (B, F, h, w, c0)
+    audio_mask: Optional[jax.Array] = None    # (B, 1, H, W) region masks
+    exp_mask: Optional[jax.Array] = None      # (B, 1, H, W)
+    motion_buckets: Optional[jax.Array] = None  # (B, 2)
+    fps: Optional[jax.Array] = None           # (B,)
+    # raw conditioning (trainable-head inputs)
+    audio_feats: Optional[jax.Array] = None   # (B, F, 10, 5, 384) whisper win
+    id_embed: Optional[jax.Array] = None      # (B, 512) ArcFace embedding
+    vasa_expr: Optional[jax.Array] = None     # (B, F, 512) expression code
+    vasa_rot: Optional[jax.Array] = None      # (B, F, 3) head rotation
+    pose_pixels: Optional[jax.Array] = None   # (B[, F], H, W, 3) pose images
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -78,14 +96,70 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return tx
 
 
+def _as_applies(applies) -> Dict[str, Any]:
+    """Normalize ``make_train_step``'s first argument: a bare callable is the
+    legacy UNet-only mode; a dict maps artifact name -> module ``.apply``."""
+    return {"unet": applies} if callable(applies) else dict(applies)
+
+
+def head_tokens(applies, params, batch: TrainBatch, keep: jax.Array,
+                dtype=jnp.bfloat16):
+    """Run the trainable conditioning heads inside the differentiable graph.
+
+    ``keep``: (B,) 1.0/0.0 conditioning-dropout mask. In the raw path the
+    *inputs* are zeroed before projection, so the dropped branch equals the
+    inference pipeline's uncond branch (projection of zeros — the CLI's
+    ``audio_tokens_per_frame``/``vasa_tokens`` uncond semantics) and head
+    gradients flow through both branches. Pre-encoded fields fall back to
+    token zeroing (UNet-only training).
+
+    Returns (id_tokens (B,1,d), audio (B,F,32,d), vasa (B,F,1,d),
+    pose_fea (B,F,h,w,c0)).
+    """
+    b, f = batch.latents.shape[:2]
+    if batch.audio_feats is not None:
+        feats = batch.audio_feats * keep[:, None, None, None, None]
+        audio = applies["audio_proj"](params["audio_proj"],
+                                      feats.astype(jnp.float32))
+    else:
+        audio = batch.audio_tokens * keep[:, None, None, None]
+    if batch.id_embed is not None:
+        idt = applies["id_proj"](params["id_proj"],
+                                 batch.id_embed * keep[:, None])[:, None, :]
+    else:
+        idt = batch.id_tokens * keep[:, None, None]
+    if batch.vasa_expr is not None:
+        proj = applies["vasa_proj"](params["vasa_proj"],
+                                    batch.vasa_expr * keep[:, None, None])
+        rot = batch.vasa_rot * keep[:, None, None]
+        # rotation + translation*0 (reference Inference.py:498-505)
+        pose6 = jnp.concatenate([rot, jnp.zeros_like(rot)], axis=-1)
+        vasa = jnp.concatenate([proj, pose6], axis=-1)[:, :, None, :]
+    else:
+        vasa = batch.vasa_tokens * keep[:, None, None, None]
+    if batch.pose_pixels is not None:
+        px = batch.pose_pixels
+        if px.ndim == 4:  # (B, H, W, 3) static pose image -> every frame
+            px = jnp.broadcast_to(px[:, None], (b, f) + px.shape[1:])
+        pose_fea = applies["pose_guider"](params["pose_guider"],
+                                          px.astype(dtype))
+    else:
+        pose_fea = batch.pose_fea
+    return idt, audio, vasa, pose_fea
+
+
 def diffusion_loss(
-    unet_apply,
+    applies,
     params,
     batch: TrainBatch,
     key: jax.Array,
     cfg: TrainConfig,
     dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    applies = _as_applies(applies)
+    legacy = set(applies) == {"unet"}
+    if legacy:
+        params = {"unet": params}
     b, f, h, w, _ = batch.latents.shape
     k_sig, k_noise, k_off, k_drop = jax.random.split(key, 4)
 
@@ -104,10 +178,10 @@ def diffusion_loss(
     # conditioning dropout (reference conditioning_dropout_prob 0.10):
     # per-sample, drop audio+vasa+id simultaneously to the uncond branch.
     drop = jax.random.bernoulli(k_drop, cfg.cond_dropout_prob, (b,))
-    dmask_tok = jnp.where(drop[:, None, None], 0.0, 1.0)
-    id_tok = jnp.repeat(batch.id_tokens * dmask_tok, f, axis=0)
-    audio = batch.audio_tokens * dmask_tok[:, None]
-    vasa = batch.vasa_tokens * dmask_tok[:, None]
+    keep = jnp.where(drop, 0.0, 1.0)
+    id_tok, audio, vasa, pose_fea = head_tokens(applies, params, batch, keep,
+                                                dtype)
+    id_tok = jnp.repeat(id_tok, f, axis=0)
     cond = Conditioning(
         id_tokens=id_tok.astype(dtype),
         audio_tokens=audio.reshape(b * f, *audio.shape[2:]).astype(dtype),
@@ -130,9 +204,9 @@ def diffusion_loss(
         axis=-1,
     ).astype(dtype)
 
-    model_out = unet_apply(
-        params, inp, t_cont.astype(dtype), cond, added,
-        batch.pose_fea.astype(dtype),
+    model_out = applies["unet"](
+        params["unet"], inp, t_cont.astype(dtype), cond, added,
+        pose_fea.astype(dtype),
     ).astype(jnp.float32)
 
     denoised = c_skip * x_sigma + c_out * model_out
@@ -141,19 +215,31 @@ def diffusion_loss(
     return loss, {"loss": loss, "sigma_mean": jnp.mean(sigma)}
 
 
-def make_train_step(unet_apply, tx: optax.GradientTransformation,
+def make_train_step(applies, tx: optax.GradientTransformation,
                     cfg: TrainConfig, dtype=jnp.bfloat16):
     """Returns a pure (params, opt_state, batch, key) -> (params, opt_state,
-    metrics) step; wrap in jit with your mesh shardings."""
+    metrics) step; wrap in jit with your mesh shardings.
+
+    ``applies``: a dict mapping trainable-artifact name -> module ``.apply``
+    ({"unet", "pose_guider", "audio_proj", "id_proj", "vasa_proj"}; the
+    adapter to_k_ip/to_v_ip live inside the UNet tree) with ``params`` the
+    matching dict of param trees — the reference's six-artifact ``full_ft``
+    contract. A bare callable keeps the legacy UNet-only mode where
+    ``params`` is the UNet tree itself.
+    """
+    legacy = callable(applies)
 
     def step(params, opt_state, batch: TrainBatch, key):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: diffusion_loss(unet_apply, p, batch, key, cfg, dtype),
+            lambda p: diffusion_loss(applies, p, batch, key, cfg, dtype),
             has_aux=True,
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if not legacy:
+            for name, g in grads.items():
+                metrics[f"grad_norm/{name}"] = optax.global_norm(g)
         return params, opt_state, metrics
 
     return step

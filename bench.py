@@ -101,7 +101,87 @@ def main_clip():
     }))
 
 
-def main():
+def main_train():
+    """Flagship-width training step on the real chip (remat on).
+
+    Full five-artifact train step (UNet + PoseGuider + Audio/ID/Vasa
+    projections; EDM v-pred loss, grad clip, AdamW) at the reference's
+    production training shape: 512 px (64x64 latents), 25 frames, bs 1/chip
+    (``/root/reference/config/train.yaml`` + ``ds_zero2_8gpu.yaml``).
+
+    Memory framing (v5e = 16 GiB HBM): params + Adam state run bf16 here
+    because ONE chip cannot hold the production fp32 optimizer unsharded —
+    that is exactly the reference's ZeRO-2 motivation. The production layout
+    (fp32 params replicated + fp32 moments dp-sharded 1/8 per chip ~ 7.5
+    GiB) is proven by tests/test_train_finetune.py::
+    test_zero2_flagship_memory_math; the per-step compute measured here is
+    the same. Reports sec/step and HBM in use.
+    """
+    import jax
+    from actalker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import ml_dtypes
+    from actalker_tpu.models.unet import UNetConfig
+    from actalker_tpu.pipeline.pipeline import PipelineModules
+    from actalker_tpu.training import trainer as T
+    from actalker_tpu.training.train import TRAINABLE, synthetic_batches
+
+    ucfg = UNetConfig(gradient_checkpointing=True)
+    modules = PipelineModules.create(unet_config=ucfg, dtype=jnp.bfloat16)
+    b, f, hw = 1, 25, 64
+    applies = {"unet": modules.unet.apply,
+               "pose_guider": modules.pose_guider.apply,
+               "audio_proj": modules.audio_proj.apply,
+               "id_proj": modules.id_proj.apply,
+               "vasa_proj": modules.vasa_proj.apply}
+
+    from actalker_tpu.io.init import init_pipeline_params
+
+    full = init_pipeline_params(
+        modules, jax.random.PRNGKey(0), image_size=(hw * 8, hw * 8),
+        latent_size=(hw, hw), use_eval_shape=True)
+    params = jax.device_put(jax.tree.map(
+        lambda x: np.asarray(x).astype(ml_dtypes.bfloat16)
+        if np.asarray(x).ndim >= 2 else np.asarray(x),
+        {k: full[k] for k in TRAINABLE}))
+
+    tcfg = T.TrainConfig(grad_accum_steps=1)
+    tx = T.make_optimizer(tcfg)
+    opt = jax.device_put(tx.init(params))
+    step = jax.jit(T.make_train_step(applies, tx, tcfg, dtype=jnp.bfloat16),
+                   donate_argnums=(0, 1))
+
+    batch = jax.device_put(next(synthetic_batches(b, f, hw, 320)))
+    key = jax.random.PRNGKey(0)
+    params, opt, m = step(params, opt, batch, key)   # compile + warm
+    float(m["loss"])
+    try:
+        hbm_gib = jax.devices()[0].memory_stats()["bytes_in_use"] / 2**30
+    except Exception:
+        hbm_gib = None
+
+    iters, dt = 3, float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            params, opt, m = step(params, opt, batch, key)
+        float(m["loss"])                    # drain
+        dt = min(dt, (time.time() - t0) / iters)
+
+    print(json.dumps({
+        "metric": "sec_per_train_step_flagship_512px_25f_bs1",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": None,               # reference publishes no train perf
+        "hbm_in_use_gib": round(hbm_gib, 2) if hbm_gib else None,
+        "note": "full 5-artifact step, remat on, bf16 state on 1 chip; "
+                "fp32+ZeRO-2 layout proven in test_zero2_flagship_memory_math",
+    }))
+
+
+def main(production_shape: bool = False):
     import jax
     from actalker_tpu.utils.cache import enable_compilation_cache
 
@@ -113,13 +193,16 @@ def main():
 
     cfg = UNetConfig()
     unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.bfloat16)
-    b, f, hw = 4, 14, 64
+    # production shape = the reference's own default workload: 576 px short
+    # edge -> 72x72 latents, 25-frame windows (config/inference.yaml:68-78);
+    # direct comparator 0.686 s per H100 window-step (README.md:39).
+    b, f, hw = (4, 25, 72) if production_shape else (4, 14, 64)
     cond = Conditioning(
         id_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
         audio_tokens=jnp.zeros((b * f, 32, 1024), jnp.bfloat16),
         vasa_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
-        audio_mask=jnp.ones((1, 1, 512, 512), jnp.float32),
-        exp_mask=jnp.ones((1, 1, 512, 512), jnp.float32),
+        audio_mask=jnp.ones((1, 1, hw * 8, hw * 8), jnp.float32),
+        exp_mask=jnp.ones((1, 1, hw * 8, hw * 8), jnp.float32),
     )
     sample0 = jnp.zeros((b, f, hw, hw, 8), jnp.bfloat16)
     tids = jnp.zeros((b, 3), jnp.bfloat16)
@@ -159,12 +242,22 @@ def main():
         float(jnp.sum(sample.astype(jnp.float32)))  # full pipeline drain
         dt = min(dt, (time.time() - t0) / iters)
 
-    print(json.dumps({
-        "metric": "sec_per_denoise_step_512px_14f_4cfg",
-        "value": round(dt, 4),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_SEC_PER_STEP / dt, 3),
-    }))
+    if production_shape:
+        # reference default workload: 0.686 s per H100 window-step
+        # (README.md:39 / config/inference.yaml:68-78), 8-chip fair share
+        print(json.dumps({
+            "metric": "sec_per_denoise_step_576px_25f_4cfg",
+            "value": round(dt, 4),
+            "unit": "s",
+            "vs_baseline": round(0.686 * TARGET_CHIPS / dt, 3),
+        }))
+    else:
+        print(json.dumps({
+            "metric": "sec_per_denoise_step_512px_14f_4cfg",
+            "value": round(dt, 4),
+            "unit": "s",
+            "vs_baseline": round(BASELINE_SEC_PER_STEP / dt, 3),
+        }))
 
 
 def _require_tpu(probe_timeout_s: float = 180.0):
@@ -207,5 +300,9 @@ if __name__ == "__main__":
     _require_tpu()
     if "--clip" in sys.argv[1:]:
         main_clip()
+    elif "--train" in sys.argv[1:]:
+        main_train()
+    elif "--window576" in sys.argv[1:]:
+        main(production_shape=True)
     else:
         main()

@@ -487,3 +487,81 @@ def test_wholebody_remap():
     np.testing.assert_allclose(keypoints[0, 5], kp[0, 5])  # 5 not remapped
     np.testing.assert_allclose(keypoints[0, 6], kp[0, 7])  # left elbow
     assert scores[0, 1] == 1.0
+
+
+def test_rtm_face_landmarker_matches_torch_oracle():
+    """The p1/p2-substitute face head (frontend/landmarks.py::
+    RTMFaceLandmarker, reference src/utils/face_align/align.py:23-48):
+    dense landmarks from the SimCC graph must match the torch oracle run
+    through the same crop/decode tail, and the 5-pt reduction must keep the
+    (image, box) -> (5, 2) estimator contract."""
+    import torch
+
+    from actalker_tpu.frontend.landmarks import RTMFaceLandmarker
+    from actalker_tpu.models.rtmpose import (
+        RTMPoseConfig, bbox_xyxy2cs, convert_rtmpose, simcc_decode,
+        top_down_affine, _MEAN, _STD)
+
+    cfg = RTMPoseConfig(widen=0.25, deepen=0.34, num_keypoints=106,
+                        input_size=(64, 64), gau_hidden=64, gau_s=32)
+    torch.manual_seed(1)
+    net = _build_torch_rtmpose(cfg)
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0, 0.05)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.05)
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.normal_(0, 0.1)
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0, 0.05)
+    net.eval()
+    params = convert_rtmpose(
+        {k: v.numpy() for k, v in net.state_dict().items()})
+
+    to5 = ((0, 1), (2, 3), (4,), (5,), (6,))
+    lmk = RTMFaceLandmarker(params, to5=to5, cfg=cfg)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (96, 80, 3)).astype(np.uint8)
+    box = (10.0, 12.0, 70.0, 90.0)
+
+    dense, scores = lmk.dense(img, box)
+    assert dense.shape == (106, 2) and scores.shape == (106,)
+
+    # torch oracle through the identical host tail
+    center, scale = bbox_xyxy2cs(np.asarray(box, np.float32))
+    crop, scale = top_down_affine((64, 64), scale, center, img[..., ::-1])
+    x = (crop - _MEAN) / _STD
+    with torch.no_grad():
+        sx, sy = net(torch.from_numpy(
+            x[None].transpose(0, 3, 1, 2).astype(np.float32)))
+    want, _ = simcc_decode(sx.numpy(), sy.numpy(), cfg.simcc_split_ratio)
+    want = want / np.array([64, 64]) * scale + center - scale / 2
+    np.testing.assert_allclose(dense, want[0], rtol=1e-3, atol=0.5)
+
+    five = lmk(img, box)
+    assert five.shape == (5, 2)
+    np.testing.assert_allclose(
+        five[0], dense[[0, 1]].mean(axis=0), rtol=1e-5, atol=1e-5)
+
+
+def test_resolver_prefers_face_landmark_checkpoint(tmp_path):
+    import torch
+
+    from actalker_tpu.frontend import landmarks as L
+
+    cfg_small = dict(widen=0.25, deepen=0.34, num_keypoints=106,
+                     input_size=(64, 64))
+    from actalker_tpu.models.rtmpose import RTMPoseConfig
+
+    torch.manual_seed(2)
+    net = _build_torch_rtmpose(RTMPoseConfig(gau_hidden=64, gau_s=32,
+                                             **cfg_small))
+    p = tmp_path / "rtm_face.pth"
+    torch.save(net.state_dict(), p)
+    est = L.resolve_landmark_estimator("", "", str(p))
+    assert isinstance(est, L.RTMFaceLandmarker)
