@@ -52,9 +52,25 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
             latent_size=latent_hw, use_eval_shape=True,
         )
         if converted is not None:
-            print("[actalker_tpu] missing frozen-encoder checkpoints "
+            # A trained UNet over RANDOM frozen encoders silently corrupts
+            # generation (a random VAE decodes noise; random whisper feeds
+            # garbage tokens) — fail loudly instead of merging (Advice r3).
+            hard = {"vae", "whisper"} & (expected - set(converted))
+            if hard:
+                raise SystemExit(
+                    "[actalker_tpu] unet checkpoint loaded but required "
+                    f"frozen encoders are missing: {sorted(hard)} — supply "
+                    "them (download_models.py) or use --random-weights")
+            print("[actalker_tpu] missing checkpoints "
                   f"{sorted(expected - set(converted))}: those stay random")
             params.update(converted)
+            # Random VASA towers must not masquerade as loaded ones: drop
+            # them so modes 1/2 degrade to the loud zero-expression-token
+            # fallback (``'vasa_expression' in pipe.params`` gate below)
+            # instead of silently encoding the video with random weights.
+            for k in ("vasa_expression", "vasa_pose"):
+                if k in params and k not in converted:
+                    del params[k]
     if dtype == jnp.bfloat16:
         from actalker_tpu.io.init import cast_params_bf16
 

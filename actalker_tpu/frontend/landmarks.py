@@ -109,16 +109,28 @@ class YoloFaceLandmarks:
         return kpss[int(np.argmax(iw * ih * scores))].astype(np.float32)
 
 
-# insightface "2d106det"-layout index groups for reducing a dense face
-# landmark set to the 5-point contract (means over each group); other
-# checkpoints (LaPa-106, WFLW-98) pass their own groups.
-_106_TO_5 = (
+# Index groups reducing a dense face landmark set to the 5-point contract
+# (means over each group). The DEFAULT is the LaPa-106 layout used by mmpose
+# RTMPose "face6" checkpoints (the models ``convert_rtmpose`` targets):
+# contour 0-32, brows 33-50, nose 51-65 (tip 54), eye rings 66-74 / 75-83,
+# mouth 84-103 (outer corners 84 / 90), pupils 104 / 105. insightface
+# "2d106det" checkpoints use a different 106-pt layout — pass
+# ``to5=INSIGHTFACE_106_TO_5`` (or custom groups, e.g. WFLW-98) explicitly.
+LAPA_106_TO_5 = (
+    tuple(range(66, 75)),   # left-eye ring
+    tuple(range(75, 84)),   # right-eye ring
+    (54,),                  # nose tip
+    (84,),                  # left mouth corner
+    (90,),                  # right mouth corner
+)
+INSIGHTFACE_106_TO_5 = (
     tuple(range(33, 43)),   # left-eye ring
     tuple(range(87, 97)),   # right-eye ring
     (86,),                  # nose tip
     (52,),                  # left mouth corner
     (61,),                  # right mouth corner
 )
+_106_TO_5 = LAPA_106_TO_5  # back-compat alias (default layout)
 
 
 class RTMFaceLandmarker:
@@ -156,7 +168,8 @@ class RTMFaceLandmarker:
 
 
 def resolve_landmark_estimator(det_path: str = "", scrfd_path: str = "",
-                               face_landmark_path: str = ""):
+                               face_landmark_path: str = "",
+                               to5=LAPA_106_TO_5):
     """Best available landmarker: a dense RTMPose face head when its
     converted checkpoint exists (the preferred substitute for the
     reference's p1/p2 94-pt regressors), then learned detect-head keypoints
@@ -169,7 +182,8 @@ def resolve_landmark_estimator(det_path: str = "", scrfd_path: str = "",
         from actalker_tpu.models.rtmpose import convert_rtmpose
 
         return RTMFaceLandmarker(
-            convert_rtmpose(load_torch_state_dict(face_landmark_path)))
+            convert_rtmpose(load_torch_state_dict(face_landmark_path)),
+            to5=to5)
     if ((det_path and os.path.exists(det_path))
             or (scrfd_path and os.path.exists(scrfd_path))):
         from actalker_tpu.frontend.face import resolve_face_detector

@@ -244,6 +244,36 @@ class Attention(nn.Module):
         return dense(self.out_dim or c, dtype=self.dtype, name="to_out")(out)
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense-compatible parameter holder (kernel/bias, same inits and
+    fp32 storage) that returns the raw tensors, so sibling GEMMs can fuse
+    into one Pallas kernel without changing the checkpoint tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+# FF lowering: "fused" (default) runs the whole GEGLU MLP as one Pallas
+# kernel (ops/mlp.py) — the unfused path materializes a (B, S, 8C)
+# intermediate in HBM (1.17 GB at the res-64 flagship shape) and measured
+# 39% MFU (outputs/attr_r4). "xla" keeps the two-GEMM lowering (A/B).
+_MLP_IMPL = _os.environ.get("ACTALKER_MLP", "fused")
+assert _MLP_IMPL in ("fused", "xla"), _MLP_IMPL
+
+
+def set_mlp_impl(impl: str) -> None:
+    global _MLP_IMPL
+    assert impl in ("fused", "xla"), impl
+    _MLP_IMPL = impl
+
+
 class FeedForward(nn.Module):
     """GEGLU feed-forward: proj to 2*inner, gate with GELU, project out."""
 
@@ -255,6 +285,13 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         inner = dim * self.mult
+        if _MLP_IMPL == "fused":
+            from actalker_tpu.ops.mlp import geglu_mlp
+
+            w1, b1 = _DenseParams(inner * 2, name="proj_in")(dim)
+            w2, b2 = _DenseParams(self.dim_out or dim, name="proj_out")(inner)
+            return geglu_mlp(x, w1.astype(self.dtype), b1,
+                             w2.astype(self.dtype), b2)
         h = dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)

@@ -127,7 +127,12 @@ class GroupNorm32(nn.Module):
 
 
 class LayerNormF32(nn.Module):
+    """``impl``: None follows the global ACTALKER_NORM switch; "fused"/"xla"
+    pin this call site (profiling showed entanglement is per-site: fusing
+    EVERY norm loses ~75 ms/step, but specific seams may win)."""
+
     epsilon: float = 1e-5
+    impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -135,7 +140,7 @@ class LayerNormF32(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        if _NORM_IMPL == "fused":
+        if (self.impl or _NORM_IMPL) == "fused":
             from actalker_tpu.ops.norms import layer_norm
 
             return layer_norm(x, scale, bias, self.epsilon)

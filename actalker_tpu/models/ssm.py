@@ -46,12 +46,32 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
 from actalker_tpu.models.attention_blocks import (
     downsample_ip_mask,
     expand_mask_rows,
 )
 from actalker_tpu.models.common import LayerNormF32, dense
 from actalker_tpu.ops.selective_scan import selective_scan
+
+# Out-seam lowering for the grouped block (A/B, tools/micro_block.py):
+#   "token"    (default) — moveaxis the summed branch output back to token
+#              layout BEFORE out_norm/out_proj, so the out_proj GEMM runs in
+#              the canonical C-minor layout. The r3 design ("arranged") kept
+#              norm+proj in the L-major arranged layout and let XLA fuse the
+#              transpose into the matmul — profiled at 4% MFU (5.5 ms vs
+#              0.24 ms ideal per block, outputs/attr_r4: fusion.3575).
+#   "arranged" — the r3 behavior.
+#   "fused"    — like "arranged" but out_norm uses the Pallas LN kernel.
+_SSM_SEAM = _os.environ.get("ACTALKER_SSM_SEAM", "token")
+assert _SSM_SEAM in ("token", "arranged", "fused"), _SSM_SEAM
+
+
+def set_ssm_seam(impl: str) -> None:
+    global _SSM_SEAM
+    assert impl in ("token", "arranged", "fused"), impl
+    _SSM_SEAM = impl
 
 
 def _scan_one_direction(u, delta, A, Bm, Cm, D, bias, reverse, impl, dtype):
@@ -494,7 +514,19 @@ class SS2DCondV10(nn.Module):
                                        ).astype(self.dtype)
                     outs[0] = outs[0] + poison
 
-            y = LayerNormF32(name="out_norm")(sum(outs))
+            y = sum(outs)
+            if _SSM_SEAM == "token":
+                # back to token layout FIRST: one bandwidth-bound transpose,
+                # then norm + out_proj run as canonical C-minor token GEMMs
+                # (the arranged-layout variant fused the transpose into the
+                # out_proj matmul at 4% MFU — see _SSM_SEAM docs)
+                y = jnp.moveaxis(y[:, :b], 0, 1)        # (b, l, d_inner)
+                y = LayerNormF32(name="out_norm")(y)
+                return dense(self.d_model, use_bias=False, dtype=self.dtype,
+                             name="out_proj")(y)
+            y = LayerNormF32(
+                name="out_norm",
+                impl="fused" if _SSM_SEAM == "fused" else None)(y)
             y = dense(self.d_model, use_bias=False, dtype=self.dtype,
                       name="out_proj")(y)
             return jnp.moveaxis(y[:, :b], 0, 1)

@@ -319,7 +319,7 @@ def main(argv=None):
 
         ema_params = None
         if use_ema:
-            from actalker_tpu.training.ema import ema_init, ema_update
+            from actalker_tpu.training.ema import ema_init, ema_step
 
             if ema_restored is not None:
                 ema_params = ema_restored
@@ -328,7 +328,9 @@ def main(argv=None):
                     log.warning("checkpoint-%d has no EMA state; "
                                 "seeding EMA from params", start_step)
                 ema_params = ema_init(params)
-            jema = jax.jit(ema_update)
+            # commit-gated: under grad accumulation the EMA only moves on
+            # micro-steps where MultiSteps actually applied the gradients
+            jema = jax.jit(ema_step)
 
         def ckpt_tree():
             t = {"params": params}
@@ -337,6 +339,7 @@ def main(argv=None):
             return t
 
         key = jax.random.PRNGKey(0)
+        final_step = start_step            # updated per executed step
         t0 = time.time()
         for step in range(start_step, min(start_step + args.synthetic or 10**9,
                                           max_steps)):
@@ -345,8 +348,9 @@ def main(argv=None):
                                 global_batch=batch_size if multihost else None)
             key, k = jax.random.split(key)
             params, opt_state, metrics = jstep(params, opt_state, batch, k)
+            final_step = step + 1          # actual last executed step
             if use_ema:
-                ema_params = jema(ema_params, params)
+                ema_params = jema(ema_params, params, opt_state)
             if step % 10 == 0 or step == start_step:
                 loss = float(metrics["loss"])
                 emitter.emit(step=step, loss=loss,
@@ -355,15 +359,30 @@ def main(argv=None):
             if ckpt_every and (step + 1) % ckpt_every == 0:
                 save_checkpoint(out_dir, step + 1, ckpt_tree(),
                                 total_limit=total_limit)
-        final_step = min(start_step + (args.synthetic or 0), max_steps)
         save_checkpoint(out_dir, final_step, ckpt_tree(),
                         total_limit=total_limit)
-    if args.export_reference and jax.process_index() == 0:
-        export_reference_checkpoint(params, args.export_reference, final_step,
-                                    ucfg=ucfg)
-        log.info("exported reference-contract artifacts to %s",
-                 args.export_reference)
+    if args.export_reference:
+        # Gather on EVERY process (tp>1 multi-host leaves shards
+        # non-addressable from process 0; process_allgather is collective),
+        # then write artifacts from process 0 only.
+        host = gather_params_host(params)
+        if jax.process_index() == 0:
+            export_reference_checkpoint(host, args.export_reference,
+                                        final_step, ucfg=ucfg)
+            log.info("exported reference-contract artifacts to %s",
+                     args.export_reference)
     log.info("done")
+
+
+def gather_params_host(params):
+    """Device params -> host fp32 numpy, safe under multi-host sharding."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        params = multihost_utils.process_allgather(params, tiled=True)
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params)
 
 
 def export_reference_checkpoint(params, out_dir: str, step: int,
@@ -371,8 +390,9 @@ def export_reference_checkpoint(params, out_dir: str, step: int,
     """Write the six reference checkpoint artifacts
     ({unet,pose_guider,audio_linear,adapter_module,id_proj_model,
     vasa_linear}-<step>.pth — ``Inference.py:80-142``) from a trained
-    param-tree dict, so a model fine-tuned here round-trips into the
-    reference stack."""
+    param-tree dict (host numpy or addressable arrays; multi-host callers
+    pre-gather via ``gather_params_host``), so a model fine-tuned here
+    round-trips into the reference stack."""
     import os
 
     import jax
@@ -382,7 +402,7 @@ def export_reference_checkpoint(params, out_dir: str, step: int,
 
     os.makedirs(out_dir, exist_ok=True)
     bk = W.unet_block_kwargs(ucfg) if ucfg is not None else {}
-    host = jax.tree.map(lambda x: np.array(x, np.float32), params)
+    host = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
     arts = {
         "unet": W.export_unet(host["unet"], **bk),
         "adapter_module": W.export_adapter_modules(host["unet"], **bk),
