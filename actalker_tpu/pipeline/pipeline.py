@@ -257,6 +257,7 @@ class ACTalkerPipeline:
         seed: int = 0,
         audio_mask: Optional[np.ndarray] = None,   # (1, 1, H, W)
         exp_mask: Optional[np.ndarray] = None,
+        init_noise: Optional[np.ndarray] = None,   # (buf, h, w, 4) parity hook
     ) -> jax.Array:
         num_frames = audio_tokens.shape[0]
         plan = make_plan(config, num_frames)
@@ -324,13 +325,24 @@ class ACTalkerPipeline:
                     unet.config, mask_capacity=caps))
 
         key, k_noise = jax.random.split(key)
-        run = self._jit("sample", (config, num_frames, caps), lambda: jax.jit(
+        inj = init_noise is not None
+        run = self._jit("sample", (config, num_frames, caps, inj),
+                        lambda: jax.jit(
+            lambda p, bufs, ref, k, noise: sample_video(
+                unet.apply, p, config, plan, bufs, ref, k,
+                dtype=self.dtype, init_noise=noise,
+            )
+        ) if inj else jax.jit(
             lambda p, bufs, ref, k: sample_video(
                 unet.apply, p, config, plan, bufs, ref, k,
                 dtype=self.dtype,
             )
         ))
-        latents = run(self.params["unet"], buffers, ref_latent, k_noise)
+        if inj:
+            latents = run(self.params["unet"], buffers, ref_latent, k_noise,
+                          jnp.asarray(init_noise, jnp.float32))
+        else:
+            latents = run(self.params["unet"], buffers, ref_latent, k_noise)
         return latents[:num_frames]
 
     def decode_latents(self, latents: jax.Array, decode_chunk_size: int = 10

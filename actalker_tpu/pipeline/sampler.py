@@ -175,6 +175,7 @@ def sample_video(
     noise_key: jax.Array,
     dtype=jnp.bfloat16,
     window_sharding=None,
+    init_noise: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Runs the full denoise loop; returns latents (buffer_len, h, w, 4) fp32.
 
@@ -187,6 +188,10 @@ def sample_video(
     previous step's buffer — SURVEY §5), so constraining the window batch
     partitions the UNet across chips; the only cross-chip exchange is the
     all-reduce behind the overlap-average scatter.
+
+    ``init_noise``: optional (buffer_len, h, w, 4) initial noise, replacing
+    the PRNG draw — used by parity tests to feed the reference pipeline's
+    exact noise tensor (``prepare_latents``'s ``latents=`` argument).
     """
     fpb = cfg.frames_per_batch
     buf = plan.buffer_len
@@ -195,7 +200,10 @@ def sample_video(
     n_steps = len(plan.timesteps)
     nw = plan.window_idx.shape[1]
 
-    noise = jax.random.normal(noise_key, (buf, h, w, 4), jnp.float32)
+    if init_noise is None:
+        noise = jax.random.normal(noise_key, (buf, h, w, 4), jnp.float32)
+    else:
+        noise = init_noise.astype(jnp.float32)
     latents0 = sch.add_noise(
         jnp.broadcast_to(ref_latent.astype(jnp.float32), (buf, h, w, 4)),
         noise, plan.sigmas[0],
