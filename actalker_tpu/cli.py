@@ -32,13 +32,20 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
     dtype = {"fp16": jnp.bfloat16, "bf16": jnp.bfloat16,
              "fp32": jnp.float32}[cfg.weight_dtype]
     ucfg = UNetConfig(ablate=tuple(cfg.ablate))
+    if cfg.extras.get("micro_model"):
+        # smoke/CI runs over artifacts exported from `--micro-model`
+        # training (training/train.py) — same keys, scaled-down widths
+        ucfg = ucfg.micro()
     modules = PipelineModules.create(
         unet_config=ucfg, dtype=dtype,
         vasa_expression_dim=cfg.vasa_expression_dim,
         vae_dtype=jnp.bfloat16 if getattr(cfg, "vae_dtype", "fp32") == "bf16"
         else jnp.float32)
 
-    converted = None if random_weights else convert_checkpoint_params(cfg)
+    from actalker_tpu.io.weights import unet_block_kwargs
+
+    converted = None if random_weights else convert_checkpoint_params(
+        cfg, unet_kwargs=unet_block_kwargs(ucfg))
     if converted is None:
         print("[actalker_tpu] using random weights "
               "(no checkpoints found or --random-weights)")
@@ -56,11 +63,12 @@ def build_pipeline(cfg, mode: int, random_weights: bool, latent_hw, image_hw):
             # generation (a random VAE decodes noise; random whisper feeds
             # garbage tokens) — fail loudly instead of merging (Advice r3).
             hard = {"vae", "whisper"} & (expected - set(converted))
-            if hard:
+            if hard and not cfg.extras.get("allow_random_encoders"):
                 raise SystemExit(
                     "[actalker_tpu] unet checkpoint loaded but required "
                     f"frozen encoders are missing: {sorted(hard)} — supply "
-                    "them (download_models.py) or use --random-weights")
+                    "them (download_models.py), use --random-weights, or "
+                    "set extras.allow_random_encoders for smoke runs")
             print("[actalker_tpu] missing checkpoints "
                   f"{sorted(expected - set(converted))}: those stay random")
             params.update(converted)

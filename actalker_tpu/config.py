@@ -44,10 +44,11 @@ class InferenceConfig:
     use_teeth_enhance: bool = False
     seed: Optional[int] = 72589
     weight_dtype: str = "bf16"
-    # VAE compute dtype: "fp32" mirrors the reference's VAE upcast
-    # (pipeline 512-515); "bf16" halves decode time/HBM on TPU (>40 dB PSNR
-    # vs fp32, tests/test_vae_parity.py gate)
-    vae_dtype: str = "fp32"
+    # VAE compute dtype. Default "bf16" since r4: halves decode time/HBM on
+    # TPU at >40 dB PSNR vs fp32 (tests/test_vae_parity.py gate). "fp32"
+    # mirrors the reference's VAE upcast (pipeline 512-515) — that upcast
+    # guards an fp16 numeric artifact TPU bf16 doesn't share.
+    vae_dtype: str = "bf16"
     # model-variant selection: the reference picks _wo_* ablation UNets via
     # the config's unet class key; here any subset of
     # {"audio", "vasa", "id", "ssd", "cross_attn"}

@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-                *, heads: int, scale: float, nk: int):
+                *, heads: int, scale: float, nk: int,
+                kv_len: Optional[int] = None):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -65,12 +66,24 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
     q = q_ref[0]                                   # (bq, C)
     k = k_ref[0]                                   # (bk, C)
     v = v_ref[0]
+    bk = k.shape[0]
+    kmask = None
+    if kv_len is not None:
+        # sequence padded to the block grid (S not a multiple of 256, e.g.
+        # 5184 tokens at the 576-px production shape): keys past kv_len are
+        # pad rows — mask their scores so softmax ignores them. Pad QUERY
+        # rows attend uniformly over valid keys (q = 0) and are sliced off
+        # by the caller.
+        idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        kmask = idx < kv_len
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh = (q[:, sl] * jnp.asarray(scale, q.dtype))
         s = jax.lax.dot_general(
             qh, k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # (bq, bk)
+        if kmask is not None:
+            s = jnp.where(kmask, s, -jnp.inf)
         m_prev = m_ref[:, h:h + 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
@@ -95,22 +108,33 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
 def _pick_blocks(s: int, c: int) -> tuple:
     # VMEM: scores (bq, bk) f32 dominate; acc (bq, C) f32. Swept on v5e for
     # the stock kernel: 2048/1024 q/k blocks at S=4096 (see
-    # perf-failed-experiments); smaller S uses the whole sequence.
-    bq = 2048 if s % 2048 == 0 else min(1024, s)
-    while s % bq:
-        bq //= 2
-    bk = min(1024, s)
-    while s % bk:
-        bk //= 2
-    return bq, bk
+    # perf-failed-experiments); smaller S uses the whole sequence. s is
+    # always a multiple of 256 here (caller pads); pick the largest
+    # 256-multiple divisor so padded shapes (5376 = 21*256 -> 1792/768)
+    # keep big MXU tiles.
+    def largest(cap):
+        best, m = 0, 256
+        while m <= min(cap, s):
+            if s % m == 0:
+                best = m
+            m += 256
+        if not best:               # s < 256 or no 256-multiple divides s
+            best = min(cap, s)
+            while s % best:
+                best //= 2
+        return best
+
+    return largest(2048), largest(1024)
 
 
-def _mha_pallas(q, k, v, heads: int, scale: float, *, interpret: bool):
+def _mha_pallas(q, k, v, heads: int, scale: float, *, interpret: bool,
+                kv_len: Optional[int] = None):
     b, s, c = q.shape
     bq, bk = _pick_blocks(s, c)
     nq, nk = s // bq, s // bk
     kernel = functools.partial(
-        _mha_kernel, heads=heads, scale=scale, nk=nk)
+        _mha_kernel, heads=heads, scale=scale, nk=nk,
+        kv_len=None if (kv_len is None or kv_len == s) else kv_len)
     return pl.pallas_call(
         kernel,
         grid=(b, nq, nk),
@@ -154,9 +178,12 @@ def mha_tokens(q, k, v, heads: int, scale: Optional[float] = None):
 def _use_kernel(s: int, c: int, heads: int) -> bool:
     # c need only be a multiple of 64: head slices land on half-lane-tile
     # boundaries, which Mosaic lowers as lane selects inside VMEM (measured
-    # fine at C=320/D=64 — the flagship down0/up3 width).
+    # fine at C=320/D=64 — the flagship down0/up3 width). Any s >= 256
+    # works: non-256-multiples are padded with masked keys (the 576-px
+    # production shape has S = 5184 = 72^2 — the XLA fallback there
+    # materializes a 54 GB f32 score tensor and cannot even compile).
     d = c // heads
-    return (jax.default_backend() == "tpu" and s >= 256 and s % 256 == 0
+    return (jax.default_backend() == "tpu" and s >= 256
             and d % 8 == 0 and c % 64 == 0)
 
 
@@ -164,7 +191,14 @@ def _mha_fwd(q, k, v, heads, scale):
     b, s, c = q.shape
     sc = (c // heads) ** -0.5 if scale is None else scale
     if _use_kernel(s, c, heads):
-        out = _mha_pallas(q, k, v, heads, sc, interpret=False)
+        if s % 256:
+            sp = (s + 255) // 256 * 256
+            pad = ((0, 0), (0, sp - s), (0, 0))
+            out = _mha_pallas(jnp.pad(q, pad), jnp.pad(k, pad),
+                              jnp.pad(v, pad), heads, sc,
+                              interpret=False, kv_len=s)[:, :s]
+        else:
+            out = _mha_pallas(q, k, v, heads, sc, interpret=False)
     else:
         out = _mha_xla(q, k, v, heads, sc)
     return out, (q, k, v)

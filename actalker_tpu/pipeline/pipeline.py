@@ -347,7 +347,12 @@ class ACTalkerPipeline:
 
     def decode_latents(self, latents: jax.Array, decode_chunk_size: int = 10
                        ) -> np.ndarray:
-        """(F, h, w, 4) -> (F, H, W, 3) float32 in [-1, 1], chunked."""
+        """(F, h, w, 4) -> (F, H, W, 3) float32 in [-1, 1], chunked.
+
+        All chunk decodes are DISPATCHED before any host transfer (jax
+        dispatch is async), so chunk k+1 computes while chunk k copies out —
+        the per-chunk ``np.asarray`` in the r2 version serialized decode
+        against D2H and cost ~1.5 s/clip at the bench shape."""
         scale = 1.0 / self.m.vae.config.scaling_factor
         frames = []
         decode = self._jit("vae_decode", decode_chunk_size, lambda: jax.jit(
@@ -364,5 +369,6 @@ class ACTalkerPipeline:
                     [chunk, jnp.broadcast_to(chunk[-1:], (pad,) + chunk.shape[1:])]
                 )
             out = decode(chunk[None])[0]
-            frames.append(np.asarray(out[: decode_chunk_size - pad if pad else None]))
-        return np.concatenate(frames, axis=0)[:n]
+            frames.append(out[: decode_chunk_size - pad if pad else None])
+        return np.concatenate(
+            [np.asarray(f, np.float32) for f in frames], axis=0)[:n]

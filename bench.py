@@ -60,7 +60,11 @@ def main_clip():
     from actalker_tpu.pipeline.sampler import SamplerConfig
 
     f, px = 14, 512
-    modules = PipelineModules.create(dtype=jnp.bfloat16)
+    # bf16 VAE decode (PSNR-gated >40 dB vs fp32, tests/test_vae_parity.py;
+    # pipeline.py:65-68) — the production default since r4; the reference's
+    # fp32 upcast guards an fp16 artifact TPUs don't have.
+    modules = PipelineModules.create(dtype=jnp.bfloat16,
+                                     vae_dtype=jnp.bfloat16)
     params = cast_params_bf16(init_pipeline_params(
         modules, jax.random.PRNGKey(0), image_size=(px, px),
         latent_size=(px // 8, px // 8), use_eval_shape=True,
@@ -178,6 +182,87 @@ def main_train():
         "hbm_in_use_gib": round(hbm_gib, 2) if hbm_gib else None,
         "note": "full 5-artifact step, remat on, bf16 state on 1 chip; "
                 "fp32+ZeRO-2 layout proven in test_zero2_flagship_memory_math",
+    }))
+
+
+def main_gather():
+    """A/B: SSM static-capacity gather vs masked-dense at a production box
+    fraction (VERDICT r3 missing #5).
+
+    Mode-0/1 semantics (reference ``Inference.py:469-476`` + pipeline
+    ``:702-711``): one active branch gated by the face-box region mask. The
+    reference's motivation for its masked gather is that the scan then only
+    walks the box tokens (``mamba_layer.py:1962-1981``); here the static
+    capacity (``SS2DCondV10.capacity_frac``) is the TPU-shaped equivalent.
+    Runs the SAME weights through both lowerings (capacity is config, not
+    params) on a ~31% box mask and reports both times.
+    """
+    import jax
+    from actalker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import ml_dtypes
+    from actalker_tpu.models.conditioning import Conditioning
+    from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
+
+    b, f, hw = 4, 14, 64
+    # box mask = 5/16 of the frame (0.5 x 0.625), aligned to every mamba
+    # scale, matching the pipeline's ceil-to-16ths bucketing
+    mask = np.zeros((1, 1, hw * 8, hw * 8), np.float32)
+    mask[:, :, : hw * 4, : hw * 5] = 1.0
+    caps = (5.0 / 16.0, 0.0)          # (audio frac, vasa gated off) = mode 0
+
+    cond = Conditioning(
+        id_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
+        audio_tokens=jnp.zeros((b * f, 32, 1024), jnp.bfloat16),
+        vasa_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
+        audio_mask=jnp.asarray(mask),
+        exp_mask=jnp.zeros_like(jnp.asarray(mask)),
+    )
+    sample0 = jnp.zeros((b, f, hw, hw, 8), jnp.bfloat16)
+    tids = jnp.zeros((b, 3), jnp.bfloat16)
+
+    def timed(mask_capacity):
+        cfg = UNetConfig(mask_capacity=mask_capacity)
+        unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.bfloat16)
+        pose = jnp.zeros((b, f, hw, hw, cfg.block_out_channels[0]),
+                         jnp.bfloat16)
+        shapes = jax.eval_shape(
+            unet.init, jax.random.PRNGKey(0), sample0, 0.5, cond, tids, pose)
+        rng = np.random.default_rng(0)
+        params = jax.device_put(jax.tree.map(
+            lambda s: (rng.standard_normal(s.shape, dtype=np.float32) * 0.02)
+            .astype(ml_dtypes.bfloat16), shapes))
+
+        @jax.jit
+        def step(params, sample, pose):
+            out = unet.apply(params, sample, 0.5, cond, tids, pose)
+            return jnp.concatenate(
+                [sample[..., :4] - 0.1 * out, sample[..., 4:]], axis=-1)
+
+        sample = step(params, sample0, pose)
+        sample.block_until_ready()
+        iters, dt = 10, float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(iters):
+                sample = step(params, sample, pose)
+            float(jnp.sum(sample.astype(jnp.float32)))
+            dt = min(dt, (time.time() - t0) / iters)
+        return dt
+
+    dense_dt = timed(None)
+    gather_dt = timed(caps)
+    print(json.dumps({
+        "metric": "sec_per_denoise_step_512px_14f_box31pct",
+        "value": round(min(dense_dt, gather_dt), 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SEC_PER_STEP / min(dense_dt, gather_dt),
+                             3),
+        "masked_dense": round(dense_dt, 4),
+        "capacity_gather": round(gather_dt, 4),
+        "gather_speedup": round(dense_dt / gather_dt, 3),
     }))
 
 
@@ -300,6 +385,8 @@ if __name__ == "__main__":
     _require_tpu()
     if "--clip" in sys.argv[1:]:
         main_clip()
+    elif "--gather" in sys.argv[1:]:
+        main_gather()
     elif "--train" in sys.argv[1:]:
         main_train()
     elif "--window576" in sys.argv[1:]:

@@ -145,3 +145,22 @@ def test_attn_impl_layouts_share_params_and_agree(block):
         ab.set_attn_impl(prev)
     np.testing.assert_allclose(np.asarray(y_tok), np.asarray(y_bhsd),
                                atol=5e-3, rtol=1e-2)
+
+
+def test_mha_pallas_padded_kv_mask_matches_unpadded():
+    """The masked-key padding path (S not a multiple of 256 — the 576-px
+    production shape has S = 5184): padded keys must be invisible to the
+    softmax, so running the kernel on zero-padded q/k/v with kv_len = S and
+    slicing must equal attention over the original sequence."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    b, s, c, h = 1, 324, 32, 2            # 324 tokens (res-18 at 576px/4)
+    sp = 512                              # padded to the 256-grid
+    q, k, v = (_rand(ks[0], (b, s, c)), _rand(ks[1], (b, s, c)),
+               _rand(ks[2], (b, s, c)))
+    pad = ((0, 0), (0, sp - s), (0, 0))
+    out = _mha_pallas(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+                      h, (c // h) ** -0.5, interpret=True, kv_len=s)[:, :s]
+    ref = _mha_xla(q, k, v, h, (c // h) ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=1e-2)
+    assert np.isfinite(np.asarray(out)).all()
