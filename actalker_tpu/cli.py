@@ -414,7 +414,9 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
                 "\nInference completed. Enter a new YAML config to run again "
                 "(or press Enter to exit): "
             ).strip()
-        except EOFError:
+        except (EOFError, OSError):
+            # OSError: stdin unavailable (pytest capture, daemonized runs) —
+            # same meaning as EOF for the interactive loop
             break
         if not new_cfg_path:
             break
