@@ -59,10 +59,14 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, inner: int):
 
 
 def _pick_bm(m: int, inner: int) -> int:
-    # f32 intermediate (bm, 2*inner) is the VMEM-heavy temporary; keep it
-    # ~8 MB so weights + double-buffered x/y tiles stay under the limit.
-    bm = 1024
-    while bm > 128 and bm * 2 * inner * 4 > 8 * 2**20:
+    # f32 intermediate (bm, 2*inner) is the VMEM-heavy temporary; the budget
+    # bounds it next to the weights + double-buffered x/y tiles.
+    # Swept on v5e (tools/micro_mlp.py): ACTALKER_MLP_BUDGET_MB env for A/B.
+    import os
+
+    budget = int(os.environ.get("ACTALKER_MLP_BUDGET_MB", "8")) * 2**20
+    bm = 2048
+    while bm > 128 and bm * 2 * inner * 4 > budget:
         bm //= 2
     while m % bm:
         bm //= 2

@@ -288,3 +288,23 @@ def test_arranged_grad_kernels_match_twin_interpret():
             b_ = np.asarray(b_)[..., :d] if np.asarray(b_).ndim == 3 \
                 else np.asarray(b_)
             np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-3)
+
+
+def test_grouped_v2_state_major_matches_v1_interpret():
+    """The state-major v2 grouped kernel (batched transcendentals, mul-add
+    serial core — ACTALKER_SCAN=v2) must match v1 exactly in interpret
+    mode, masks and both directions included."""
+    from actalker_tpu.ops import selective_scan_pallas as SP
+
+    case = TestGrouped()
+    u_g, slab, dtw, tm, A, D, bias, dts, B, C, rank, dp, n = case._build()
+    args = (jnp.asarray(u_g), jnp.asarray(slab), jnp.asarray(dtw),
+            jnp.asarray(A), jnp.asarray(D), jnp.asarray(bias))
+    try:
+        SP.set_scan_impl("v1")
+        v1 = np.asarray(SP.ssm_scan_grouped(*args, rank=rank, lc=32))
+        SP.set_scan_impl("v2")
+        v2 = np.asarray(SP.ssm_scan_grouped(*args, rank=rank, lc=32))
+    finally:
+        SP.set_scan_impl("v1")
+    np.testing.assert_allclose(v2, v1, rtol=2e-5, atol=2e-5)

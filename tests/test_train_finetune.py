@@ -262,16 +262,17 @@ def test_zero2_flagship_width_step_executes():
     5-artifact train step at FLAGSHIP width (full 320/640/1280 UNet,
     ~1.5 B params) with fp32 master params and dp-sharded Adam moments.
 
-    dp=4 bounds host RAM: replicated fp32 flagship params cost
-    dp x 6 GiB on one host's virtual devices (a cost the real pod does not
-    pay), so the 8-way layout stays covered by
+    dp=2 bounds host RAM: replicated fp32 flagship params cost
+    dp x 6 GiB on one host's virtual devices PLUS a per-device grad tree
+    transient (a cost the real pod does not pay per host) — dp=4 was
+    OOM-killed twice on the 125 GiB box. The 8-way layout stays covered by
     test_zero2_flagship_memory_math while this test executes the identical
-    program at dp=4 (frames=2, 8x8 latents to bound compute). Matches
+    program at dp=2 (frames=2, 8x8 latents to bound compute). Matches
     /root/reference/ds_zero2_8gpu.yaml:3-12 semantics.
     """
     from actalker_tpu.pipeline.pipeline import PipelineModules
 
-    dp = 4
+    dp = 2
     mesh = M.make_mesh(devices=jax.devices()[:dp], dp=dp, tp=1)
     ucfg = UNetConfig(scan_impl="blocked", gradient_checkpointing=True)
     modules = PipelineModules.create(unet_config=ucfg, dtype=jnp.float32)

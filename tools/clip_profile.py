@@ -9,7 +9,11 @@ Answers: where do the ~32 s of non-UNet-step time in the 59 s clip bench go?
 
 Usage: timeout 1800 python -u tools/clip_profile.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
