@@ -920,6 +920,9 @@ def _grouped_pallas(u_g, slab_g, dtw_g, A_g, D_g, bias_g, rank, lc):
             # state carries only along the L axis (reset at lblk == 0), so the
             # group/batch dims are free to pipeline
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v2's five (lc, 8, dp) f32 scratches exceed the 30 MB default
+            # scoped-vmem limit at dp=1280/lc=64
+            vmem_limit_bytes=100 * 2**20,
         ),
     )(u_g, slab_g, dtw_g, a_exp, Dv, bias)
 

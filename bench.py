@@ -134,14 +134,14 @@ def main_train():
 
     ucfg = UNetConfig(gradient_checkpointing=True)
     modules = PipelineModules.create(unet_config=ucfg, dtype=jnp.bfloat16)
-    # 14 frames: the largest single-chip-trainable window. The production
-    # 25-frame layout was measured RESOURCE_EXHAUSTED on one v5e
-    # (outputs/perf_r04.log bench-train-retry): bf16 params 3 GB + Adam
-    # moments 6 GB + grads 3 GB + remat activations > 16 GB HBM — exactly
-    # the reference's motivation for ZeRO-2 over 8 devices
+    # 8 frames: the single-chip-trainable window measured on one v5e.
+    # 25f AND 14f are RESOURCE_EXHAUSTED (outputs/perf_r04.log
+    # bench-train-retry / bench-train-14f): bf16 params 3 GB + Adam moments
+    # 6 GB + XLA's reserved program temporaries crowd the 16 GB HBM —
+    # exactly the reference's motivation for ZeRO-2 over 8 devices
     # (ds_zero2_8gpu.yaml); the dp-sharded 25f layout is proven by
     # tests/test_train_finetune.py (memory math + executed dp-sharded step).
-    b, f, hw = 1, 14, 64
+    b, f, hw = 1, 8, 64
     applies = {"unet": modules.unet.apply,
                "pose_guider": modules.pose_guider.apply,
                "audio_proj": modules.audio_proj.apply,
@@ -182,7 +182,7 @@ def main_train():
         dt = min(dt, (time.time() - t0) / iters)
 
     print(json.dumps({
-        "metric": "sec_per_train_step_flagship_512px_14f_bs1",
+        "metric": "sec_per_train_step_flagship_512px_8f_bs1",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": None,               # reference publishes no train perf
