@@ -288,6 +288,82 @@ def _frame_pallas(q, k, v, heads: int, scale: float, *, interpret: bool):
     )(q, k, v)
 
 
+def _frame_kernel_v2(q_ref, k_ref, v_ref, o_ref, qT, kT, vT,
+                     *, heads: int, scale: float, f: int):
+    """Frame attention with d on SUBLANES and tokens on LANES.
+
+    The XLA lowering runs at <1%% MFU (11 ms/res-64 block) and drags ~3 ms
+    of reshape/transpose copies per block (outputs/perf_notes_r04.md); the
+    v1 kernel put d on lanes, making every score a lane-reduction (19.6 ms).
+    Here each (head, frame) slab is transposed ONCE in VMEM to (d, ts), so
+    scores are (d, ts) elementwise products + native sublane reductions and
+    the p*v accumulation is a sublane broadcast. Frame loops are fori (no
+    giant unrolls — unrolling exploded Mosaic compile times before).
+    """
+    ts = q_ref.shape[2]
+    c = q_ref.shape[3]
+    d = c // heads
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+
+        def load(fi, _):
+            qT[pl.ds(fi, 1)] = jnp.transpose(
+                q_ref[0, fi, :, sl].astype(jnp.float32) * scale)[None]
+            kT[pl.ds(fi, 1)] = jnp.transpose(
+                k_ref[0, fi, :, sl].astype(jnp.float32))[None]
+            vT[pl.ds(fi, 1)] = jnp.transpose(
+                v_ref[0, fi, :, sl].astype(jnp.float32))[None]
+            return 0
+
+        jax.lax.fori_loop(0, f, load, 0)
+
+        def one_frame(fi, _):
+            qf = qT[pl.ds(fi, 1)][0]                        # (d, ts)
+
+            def one_key(g, carry):
+                m, l, acc = carry
+                s = jnp.sum(qf * kT[pl.ds(g, 1)][0], axis=0,
+                            keepdims=True)                   # (1, ts)
+                m_new = jnp.maximum(m, s)
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = l * alpha + p
+                acc = acc * alpha + p * vT[pl.ds(g, 1)][0]
+                return m_new, l, acc
+
+            m0 = jnp.full((1, ts), -jnp.inf, jnp.float32)
+            l0 = jnp.zeros((1, ts), jnp.float32)
+            a0 = jnp.zeros((d, ts), jnp.float32)
+            _, l, acc = jax.lax.fori_loop(0, f, one_key, (m0, l0, a0))
+            o_ref[0, fi, :, sl] = jnp.transpose(acc / l).astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, f, one_frame, 0)
+
+
+def _frame_pallas_v2(q, k, v, heads: int, scale: float, *, interpret: bool):
+    b, f, s, c = q.shape
+    d = c // heads
+    ts = 256
+    while s % ts:
+        ts //= 2
+    spec = pl.BlockSpec((1, f, ts, c), lambda b, si: (b, 0, si, 0))
+    return pl.pallas_call(
+        functools.partial(_frame_kernel_v2, heads=heads, scale=scale, f=f),
+        grid=(b, s // ts),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, f, s, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((f, d, ts), jnp.float32)
+                        for _ in range(3)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+    )(q, k, v)
+
+
 def _frame_xla(q, k, v, heads: int, scale: float):
     b, f, s, c = q.shape
     d = c // heads
@@ -319,14 +395,20 @@ def _frame_fwd(q, k, v, num_frames, heads, scale):
     q4 = q.reshape(b, num_frames, s, c)
     k4 = k.reshape(b, num_frames, s, c)
     v4 = v.reshape(b, num_frames, s, c)
-    # The Pallas path measures SLOWER than the XLA einsum lowering on v5e
-    # (19.6 vs 9.9 ms at (4x14,4096,320,h5): the per-key-frame online
-    # rescaling is pure VPU and the (F,F) scores are too small to misbehave
-    # under XLA anyway), so it is opt-in for experiments only.
-    if (_os.environ.get("ACTALKER_FRAME_KERNEL") == "1"
-            and jax.default_backend() == "tpu" and s % 256 == 0
-            and c % 64 == 0 and d % 8 == 0):
+    # Lowering choice (ACTALKER_FRAME_KERNEL): "v2" (default) = the
+    # d-on-sublanes kernel (_frame_kernel_v2; micro 10.6/4.98 ms vs XLA
+    # 11.9/7.70 at the res-64/res-32 shapes, and it avoids the ~3 ms/block
+    # of reshape/transpose copies the XLA path drags in-situ —
+    # outputs/profile_r04.log micro_frame); "1" = the v1 kernel (d-on-lanes;
+    # measured SLOWER than XLA: 19.6 vs 9.9 ms); "xla" / unset-invalid =
+    # the XLA einsum lowering.
+    impl = _os.environ.get("ACTALKER_FRAME_KERNEL", "v2")
+    ok = (jax.default_backend() == "tpu" and s % 128 == 0
+          and c % 64 == 0 and d % 8 == 0)
+    if impl == "1" and ok and s % 256 == 0:
         out = _frame_pallas(q4, k4, v4, heads, sc, interpret=False)
+    elif impl == "v2" and ok:
+        out = _frame_pallas_v2(q4, k4, v4, heads, sc, interpret=False)
     else:
         out = _frame_xla(q4, k4, v4, heads, sc)
     return out.reshape(bf, s, c), (q, k, v)

@@ -134,13 +134,13 @@ def main_train():
 
     ucfg = UNetConfig(gradient_checkpointing=True)
     modules = PipelineModules.create(unet_config=ucfg, dtype=jnp.bfloat16)
-    # 8 frames: the single-chip-trainable window measured on one v5e.
-    # 25f AND 14f are RESOURCE_EXHAUSTED (outputs/perf_r04.log
-    # bench-train-retry / bench-train-14f): bf16 params 3 GB + Adam moments
-    # 6 GB + XLA's reserved program temporaries crowd the 16 GB HBM —
-    # exactly the reference's motivation for ZeRO-2 over 8 devices
-    # (ds_zero2_8gpu.yaml); the dp-sharded 25f layout is proven by
-    # tests/test_train_finetune.py (memory math + executed dp-sharded step).
+    # 8 frames: the single-chip-trainable window. 25f and 14f are
+    # RESOURCE_EXHAUSTED on one 16 GB v5e (outputs/perf_r04.log): bf16
+    # params 3 GB + Adam moments 6 GB + first-execution program temporaries
+    # crowd the HBM — exactly the reference's ZeRO-2-over-8-devices
+    # motivation (ds_zero2_8gpu.yaml); the dp-sharded 25f layout is proven
+    # by tests/test_train_finetune.py (memory math + executed
+    # flagship-width dp-sharded step).
     b, f, hw = 1, 8, 64
     applies = {"unet": modules.unet.apply,
                "pose_guider": modules.pose_guider.apply,
@@ -160,7 +160,10 @@ def main_train():
 
     tcfg = T.TrainConfig(grad_accum_steps=1)
     tx = T.make_optimizer(tcfg)
-    opt = jax.device_put(tx.init(params))
+    # NOTE: no device_put around tx.init — it already yields device arrays,
+    # and copying doubles the 6 GB Adam state transiently (measured
+    # RESOURCE_EXHAUSTED at batched_device_put, outputs/perf_r04.log)
+    opt = tx.init(params)
     step = jax.jit(T.make_train_step(applies, tx, tcfg, dtype=jnp.bfloat16),
                    donate_argnums=(0, 1))
 

@@ -164,3 +164,19 @@ def test_mha_pallas_padded_kv_mask_matches_unpadded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-3, rtol=1e-2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_frame_pallas_v2_interpret_matches_xla():
+    """The d-on-sublanes frame-attention kernel (ACTALKER_FRAME_KERNEL=v2)
+    must match the XLA lowering."""
+    from actalker_tpu.ops.mha import _frame_pallas_v2
+
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    b, f, s, c, h = 2, 5, 128, 64, 2
+    q, k, v = (_rand(ks[0], (b, f, s, c)), _rand(ks[1], (b, f, s, c)),
+               _rand(ks[2], (b, f, s, c)))
+    sc = (c // h) ** -0.5
+    out = _frame_pallas_v2(q, k, v, h, sc, interpret=True)
+    ref = _frame_xla(q, k, v, h, sc)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=1e-2)
