@@ -40,11 +40,13 @@ def dot_product_attention(
 def _flash_block_sizes(sq: int, sk: int):
     from jax.experimental.pallas.ops.tpu import flash_attention as FA
 
-    # Swept on v5e at (56, 5, 4096, 64): 2048/1024 beats 1024/1024 by ~7%
-    # (23.6 vs 25.4 ms); larger blocks fail to compile (VMEM). The backward
-    # pass requires block_q to DIVIDE the sequence length (forward pads), so
-    # fall back for lengths like 3072 that 2048 does not divide.
-    bq = 2048 if sq % 2048 == 0 else min(1024, sq)
+    # 1024/1024 blocks: at 2048 the kernel's fwd-inside-vjp (residual-saving
+    # variant, the TRAINING path via mha_tokens' custom bwd) exceeds the
+    # 17 MB scoped-vmem limit by 0.9 MB and the whole train step fails to
+    # compile (outputs/profile_r04.log train_mem_probe). Inference no longer
+    # rides this kernel (ops/mha.py token-layout kernels are the default),
+    # so the ~7% 2048-vs-1024 fwd win measured in r2 is moot here.
+    bq = min(1024, sq)
     bk = min(1024, sk)
     return FA.BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,

@@ -78,14 +78,16 @@ def main():
         params, opt_shapes, batch, key)
     print("lowered; compiling...")
     compiled = lowered.compile()
-    ma = compiled.memory_analysis()
-    print(ma)
-    for attr in ("argument_size_in_bytes", "output_size_in_bytes",
-                 "temp_size_in_bytes", "generated_code_size_in_bytes",
-                 "alias_size_in_bytes"):
-        v = getattr(ma, attr, None)
-        if v is not None:
-            print(f"{attr}: {v/2**30:.2f} GiB")
+    try:
+        ma = compiled.memory_analysis()
+        for attr in ("argument_size_in_bytes", "output_size_in_bytes",
+                     "temp_size_in_bytes", "generated_code_size_in_bytes",
+                     "alias_size_in_bytes"):
+            v = getattr(ma, attr, None)
+            if v is not None:
+                print(f"SUMMARY {attr}: {v/2**30:.2f} GiB", flush=True)
+    except Exception as e:
+        print(f"memory_analysis failed: {type(e).__name__} {e}")
     hbm("after compile")
 
 
