@@ -49,6 +49,12 @@ class InferenceConfig:
     # mirrors the reference's VAE upcast (pipeline 512-515) — that upcast
     # guards an fp16 numeric artifact TPU bf16 doesn't share.
     vae_dtype: str = "bf16"
+    # UNet windows evaluated per lax.map chunk inside one denoise step
+    # (sampler.SamplerConfig.windows_per_call). 0 = all windows in one
+    # batch; long-form clips (frame_num >> n_sample_frames) set a small
+    # value to bound single-chip activation memory while the ring buffer
+    # spans many windows.
+    windows_per_call: int = 0
     # model-variant selection: the reference picks _wo_* ablation UNets via
     # the config's unet class key; here any subset of
     # {"audio", "vasa", "id", "ssd", "cross_attn"}
@@ -126,6 +132,7 @@ class InferenceConfig:
             guidance3=self.vasa_guidance_scale,
             i2i_noise_strength=self.i2i_noise_strength,
             gate=gate,
+            windows_per_call=self.windows_per_call,
         )
 
 

@@ -37,14 +37,24 @@ def video_fusion_noise(
     w_ind_noise: float = 0.5,
     dtype=jnp.float32,
     initial_common_noise: Optional[jax.Array] = None,
+    initial_ind_noise: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Correlated video noise over (B, T, C, H, W)."""
+    """Correlated video noise over (B, T, C, H, W).
+
+    ``initial_common_noise`` mirrors the reference's injection hook
+    (``noise_util.py:38``); ``initial_ind_noise`` is the same idea for the
+    per-frame draw — parity tests feed both sides identical tensors so the
+    mixing formula is compared against the reference's own function.
+    """
     b, t, c, h, w = shape
     k1, k2 = jax.random.split(key)
     if initial_common_noise is not None:
         common = initial_common_noise.astype(dtype)
     else:
         common = jax.random.normal(k1, (b, 1, c, h, w), dtype)
-    ind = jax.random.normal(k2, shape, dtype)
+    if initial_ind_noise is not None:
+        ind = initial_ind_noise.astype(dtype)
+    else:
+        ind = jax.random.normal(k2, shape, dtype)
     s = jnp.asarray(w_ind_noise, dtype)
     return jnp.sqrt(1.0 - s) * common + jnp.sqrt(s) * ind

@@ -130,7 +130,6 @@ INSIGHTFACE_106_TO_5 = (
     (52,),                  # left mouth corner
     (61,),                  # right mouth corner
 )
-_106_TO_5 = LAPA_106_TO_5  # back-compat alias (default layout)
 
 
 class RTMFaceLandmarker:
@@ -147,7 +146,7 @@ class RTMFaceLandmarker:
     def __init__(self, params, widen: float = 0.75, deepen: float = 0.67,
                  num_keypoints: int = 106,
                  input_size: Tuple[int, int] = (256, 256),
-                 to5=_106_TO_5, cfg=None):
+                 to5=LAPA_106_TO_5, cfg=None):
         from actalker_tpu.models.rtmpose import RTMPoseConfig, RTMPoseWholebody
 
         cfg = cfg or RTMPoseConfig(widen=widen, deepen=deepen,

@@ -41,6 +41,13 @@ assert _NORM_STATS_IMPL in ("reduce", "matmul"), _NORM_STATS_IMPL
 _NORM_IMPL = _os.environ.get("ACTALKER_NORM", "xla")
 assert _NORM_IMPL in ("fused", "xla"), _NORM_IMPL
 
+# GroupNorm stats/producer fission: "1" puts an optimization_barrier on the
+# GroupNorm input so XLA cannot fuse the fp32 stats reductions into the
+# producing conv's output fusion (profiled r4: GN-stats-fused convs run at
+# ~50% MFU vs ~90% for plain convs — the stats reduction wrecks the conv's
+# tiling). Costs one extra HBM read of x for the affine pass; A/B knob.
+_GN_BARRIER = _os.environ.get("ACTALKER_GN_BARRIER", "0") == "1"
+
 
 def set_norm_impl(impl: str) -> None:
     global _NORM_IMPL
@@ -90,6 +97,8 @@ class GroupNorm32(nn.Module):
             from actalker_tpu.ops.norms import group_norm
 
             return group_norm(x, scale, bias, groups, self.epsilon)
+        if _GN_BARRIER:
+            x = jax.lax.optimization_barrier(x)
         shape = x.shape
         n = shape[0]
         red_axes = tuple(range(1, x.ndim - 1))

@@ -46,8 +46,17 @@ def _flash_block_sizes(sq: int, sk: int):
     # compile (outputs/profile_r04.log train_mem_probe). Inference no longer
     # rides this kernel (ops/mha.py token-layout kernels are the default),
     # so the ~7% 2048-vs-1024 fwd win measured in r2 is moot here.
-    bq = min(1024, sq)
-    bk = min(1024, sk)
+    # CONSTRAINT: the flash BACKWARD requires block_q to divide the sequence
+    # length, so blocks must be exact divisors — e.g. s=1536/2560/3584 (all
+    # pass the s % 512 == 0 gate) need 512-blocks, not 1024.
+    def _divisor(s):
+        b = min(1024, s)
+        while s % b:
+            b //= 2
+        return b
+
+    bq = _divisor(sq)
+    bk = _divisor(sk)
     return FA.BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,

@@ -105,13 +105,57 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
                                ).astype(o_ref.dtype)
 
 
+_LOG2E = 1.4426950408889634
+
+
+def _mha_kernel_1pass(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float,
+                      kv_len: Optional[int] = None):
+    """Whole-sequence key block (nk=1): plain softmax, no online rescale.
+
+    Dropping the running (m, l, alpha) bookkeeping removes ~1/3 of the VPU
+    ops per score element; log2(e) is folded into the query scale so the
+    softmax exponential is a bare exp2 (exp lowers to exp2+mul on the VPU).
+    """
+    d = q_ref.shape[-1] // heads
+    q = q_ref[0]                                   # (bq, C)
+    k = k_ref[0]                                   # (S, C)
+    v = v_ref[0]
+    kmask = None
+    if kv_len is not None:
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, k.shape[0]), 1)
+        kmask = idx < kv_len
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q[:, sl] * jnp.asarray(scale * _LOG2E, q.dtype)
+        s = jax.lax.dot_general(
+            qh, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (bq, S), log2 domain
+        if kmask is not None:
+            s = jnp.where(kmask, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (bq, d)
+        o_ref[0, :, sl] = (pv / l).astype(o_ref.dtype)
+
+
 def _pick_blocks(s: int, c: int) -> tuple:
-    # VMEM: scores (bq, bk) f32 dominate; acc (bq, C) f32. Swept on v5e for
-    # the stock kernel: 2048/1024 q/k blocks at S=4096 (see
-    # perf-failed-experiments); smaller S uses the whole sequence. s is
-    # always a multiple of 256 here (caller pads); pick the largest
-    # 256-multiple divisor so padded shapes (5376 = 21*256 -> 1792/768)
-    # keep big MXU tiles.
+    # VMEM: scores (bq, bk) f32 dominate; acc (bq, C) f32.
+    # Swept on v5e (outputs/perf_r05.log sweep_mha): the whole-sequence key
+    # block wins at every bench shape — bk=s drops the online-softmax
+    # rescale entirely (nk=1 routes to the single-pass kernel below) and
+    # small bq keeps the score tile cheap: (512, 4096) = 16.7 ms vs the r4
+    # default (2048, 1024) = 17.9 at (56,4096,320,h5). bk=s is capped by
+    # score VMEM (bq*s*4 <= ~24 MB). ACTALKER_MHA_BLOCKS="bq,bk" overrides
+    # (A/B sweeps, tools/sweep_mha.py); non-divisors fall back here.
+    env = _os.environ.get("ACTALKER_MHA_BLOCKS", "")
+    if env:
+        bq, bk = (int(t) for t in env.split(","))
+        if s % bq == 0 and s % bk == 0:
+            return bq, bk
+
     def largest(cap):
         best, m = 0, 256
         while m <= min(cap, s):
@@ -124,6 +168,9 @@ def _pick_blocks(s: int, c: int) -> tuple:
                 best //= 2
         return best
 
+    bq = largest(768)              # 512 at 256-mult shapes; 768 at 5376
+    if bq * s * 4 <= 24 * 2**20:   # single-pass whole-sequence key block
+        return bq, s
     return largest(2048), largest(1024)
 
 
@@ -132,9 +179,27 @@ def _mha_pallas(q, k, v, heads: int, scale: float, *, interpret: bool,
     b, s, c = q.shape
     bq, bk = _pick_blocks(s, c)
     nq, nk = s // bq, s // bk
+    kvl = None if (kv_len is None or kv_len == s) else kv_len
+    if nk == 1:
+        return pl.pallas_call(
+            functools.partial(_mha_kernel_1pass, heads=heads, scale=scale,
+                              kv_len=kvl),
+            grid=(b, nq),
+            in_specs=[
+                pl.BlockSpec((1, bq, c), lambda b, qi: (b, qi, 0)),
+                pl.BlockSpec((1, s, c), lambda b, qi: (b, 0, 0)),
+                pl.BlockSpec((1, s, c), lambda b, qi: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, c), lambda b, qi: (b, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 2**20,
+            ),
+        )(q, k, v)
     kernel = functools.partial(
-        _mha_kernel, heads=heads, scale=scale, nk=nk,
-        kv_len=None if (kv_len is None or kv_len == s) else kv_len)
+        _mha_kernel, heads=heads, scale=scale, nk=nk, kv_len=kvl)
     return pl.pallas_call(
         kernel,
         grid=(b, nq, nk),
@@ -206,11 +271,48 @@ def _mha_fwd(q, k, v, heads, scale):
 
 def _mha_bwd(heads, scale, res, g):
     """Backward via the stock flash-attention vjp on (B,H,S,D) transposes —
-    the training path tolerates the two relayouts; inference never pays them."""
+    the training path tolerates the two relayouts; inference never pays them.
+
+    Non-512-multiple sequences (e.g. the 576-px S=5184 shape) are padded to
+    the flash block grid with the pad tokens fenced off via segment ids —
+    without this the backward would fall to the einsum path and materialize
+    the same ~54 GB f32 score tensor the forward padding exists to avoid
+    (r4 advisor finding)."""
     q, k, v = res
     b, s, c = q.shape
     d = c // heads
     sc = d ** -0.5 if scale is None else scale
+
+    pad_flash = (jax.default_backend() == "tpu" and s >= 1024
+                 and s % 512 != 0 and d in (64, 128, 256))
+    if pad_flash:
+        from jax.experimental.pallas.ops.tpu import flash_attention as FA
+
+        from actalker_tpu.ops.attention import _flash_block_sizes
+
+        sp = (s + 511) // 512 * 512
+        pad = ((0, 0), (0, sp - s), (0, 0))
+        # segment 0 = real tokens, 1 = pad: flash masks cross-segment pairs,
+        # so real queries ignore pad keys; pad queries attend only pad keys
+        # (uniform softmax over zero logits — finite) and their grads are
+        # sliced off below.
+        seg = jnp.broadcast_to(
+            (jnp.arange(sp) >= s).astype(jnp.int32), (b, sp))
+
+        def ref(qp, kp, vp):
+            qt = jnp.moveaxis(qp.reshape(b, sp, heads, d), 1, 2)
+            kt = jnp.moveaxis(kp.reshape(b, sp, heads, d), 1, 2)
+            vt = jnp.moveaxis(vp.reshape(b, sp, heads, d), 1, 2)
+            o = FA.flash_attention(
+                qt, kt, vt, sm_scale=sc,
+                segment_ids=FA.SegmentIds(q=seg, kv=seg),
+                block_sizes=_flash_block_sizes(sp, sp))
+            return jnp.moveaxis(o, 1, 2).reshape(b, sp, c)
+
+        _, vjp = jax.vjp(ref, jnp.pad(q, pad), jnp.pad(k, pad),
+                         jnp.pad(v, pad))
+        dq, dk, dv = vjp(jnp.pad(g, pad))
+        return dq[:, :s], dk[:, :s], dv[:, :s]
 
     def ref(q, k, v):
         from actalker_tpu.ops.attention import self_attention_bhsd

@@ -24,10 +24,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 (`generate_latents`: VAE ref encode, PoseGuider, the whole-generation
 `lax.scan` loop with 4-way CFG and overlap averaging, then chunked VAE
 decode) — the end-to-end number the reference's "~6 min on H100"
-(README.md:39) speaks about, reported as sec/clip with the same 8-chip
-fair-share baseline (windows of one denoise step parallelize across chips;
-a 14-frame clip is a single window, so the whole clip rides one chip and
-the budget is 8x the per-H100 share).
+(README.md:39) speaks about. ``--clip576`` runs the reference's DEFAULT
+operating point (576 px / 25-frame windows / 3 windows per step).
+``--traingrad`` measures a flagship grad-step (fwd+bwd) on the chip;
+``--serve`` measures 4-identity batched serving. All clip numbers share ONE
+comparator derivation — see the block comment below.
 """
 import json
 import os
@@ -39,14 +40,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-H100_SEC_PER_STEP = 0.303      # H100 reference, scaled to bench shape
+# ---------------------------------------------------------------------------
+# THE one clip/step comparator derivation (used verbatim here, in README.md
+# and in outputs/perf_notes_r05.md — r4 had three inconsistent versions).
+#
+# Anchor: the reference's default clip is ~6 min on ONE H100
+# (/root/reference/README.md:39) = 25 denoise steps x 21 windows of
+# (4-CFG x 25 frames x 72x72 latents) => 360/525 = 0.686 s per window-step.
+# A window-step at another (frames, latent-hw) shape is priced by its
+# frame x pixel count:  h100_window_step(f, hw) = 0.686 * f*hw^2/(25*72^2).
+# A clip that our sampler runs as (n_steps x n_windows) window-steps is
+# priced as the H100 doing the SAME window-steps (the ring-buffer window
+# table is the reference's own loop structure, sampler.py:make_plan) plus
+# its decode share: the reference's chunked decode is ~4% of the 6-min wall
+# => 14.4 s / 500 frames at 72x72 latents = 0.0288 s per frame, scaled by
+# pixels.
+# Fair-share framing: BASELINE.md's target platform is a v5e-8 pod vs one
+# H100; windows within one denoise step are embarrassingly parallel across
+# chips, so one v5e chip's budget is 8x the H100 time. "vs_baseline" > 1
+# means the 8-chip pod beats one H100; the raw chip-for-chip ratio is
+# h100 / measured (< 1 on every config: one v5e has ~1/5 the bf16 FLOPs).
+# ---------------------------------------------------------------------------
 TARGET_CHIPS = 8               # BASELINE.md north star: v5e-8 vs one H100
+H100_WINDOW_STEP_25F_72 = 0.686
+
+
+def h100_window_step(f: int, hw: int) -> float:
+    return H100_WINDOW_STEP_25F_72 * (f * hw * hw) / (25 * 72 * 72)
+
+
+def h100_clip(n_steps: int, n_windows: int, fpb: int, hw: int,
+              n_frames: int) -> float:
+    decode = 0.0288 * n_frames * (hw * hw) / (72 * 72)
+    return n_steps * n_windows * h100_window_step(fpb, hw) + decode
+
+
+def sampler_windows(num_frames: int, fpb: int, overlap: int = 0) -> int:
+    """Windows per denoise step for a buffer (mirrors sampler.make_plan)."""
+    return len(range(0, num_frames + fpb, fpb - overlap))
+
+
+H100_SEC_PER_STEP = h100_window_step(14, 64)   # 0.303 — bench window-step
 BASELINE_SEC_PER_STEP = H100_SEC_PER_STEP * TARGET_CHIPS
-# End-to-end H100 budget for the bench clip: 25 window-steps + VAE decode.
-# The reference's decode is ~4% of its wall clock (21-window clip, chunked
-# fp32 decode); per 14-frame clip that is ~0.5 s on H100.
-H100_SEC_PER_CLIP = H100_SEC_PER_STEP * 25 + 0.5
-BASELINE_SEC_PER_CLIP = H100_SEC_PER_CLIP * TARGET_CHIPS
 
 
 def main_clip():
@@ -96,12 +131,293 @@ def main_clip():
         dt = min(dt, time.time() - t0)
     assert frames.shape == (f, px, px, 3)
 
+    # This clip runs 25 steps x 2 windows (buffer = 14+14 frames, stride 14
+    # — sampler.make_plan); the H100 comparator prices the same 50
+    # window-steps + decode (see derivation at the top of this file).
+    h100 = h100_clip(25, sampler_windows(f, f), f, px // 8, f)
     print(json.dumps({
         "metric": "sec_per_clip_512px_14f_25steps",
         "value": round(dt, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_SEC_PER_CLIP / dt, 3),
+        "vs_baseline": round(h100 * TARGET_CHIPS / dt, 3),
+        "h100_comparator_s": round(h100, 2),
+        "raw_chip_ratio": round(h100 / dt, 3),
         "min_per_clip": round(dt / 60, 4),
+    }))
+
+
+def _hbm_gib():
+    import jax
+    try:
+        return round(
+            jax.devices()[0].memory_stats()["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        try:
+            return round(
+                jax.devices()[0].memory_stats()["bytes_in_use"] / 2**30, 2)
+        except Exception:
+            return None
+
+
+def main_clip576():
+    """The reference's DEFAULT operating point, end to end on the chip
+    (VERDICT r4 missing #1): 576 px short edge -> 72x72 latents, 25-frame
+    windows, 25 steps (/root/reference/config/inference.yaml:68-82), over a
+    50-frame buffer => 75 latent frames ringing through 3 windows per
+    denoise step (the reference's 500-frame default runs the same loop at 21
+    windows; per-window work is identical). Encode + full sampler scan +
+    chunked decode, windows_per_call=1 to bound single-chip activations.
+    """
+    import jax
+    import jax.numpy as jnp
+    from actalker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from actalker_tpu.io.init import cast_params_bf16, init_pipeline_params
+    from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
+    from actalker_tpu.pipeline.sampler import SamplerConfig
+
+    f, fpb, px = 50, 25, 576
+    modules = PipelineModules.create(dtype=jnp.bfloat16,
+                                     vae_dtype=jnp.bfloat16)
+    params = cast_params_bf16(init_pipeline_params(
+        modules, jax.random.PRNGKey(0), image_size=(px, px),
+        latent_size=(px // 8, px // 8), use_eval_shape=True,
+    ))
+    pipe = ACTalkerPipeline(modules, params, dtype=jnp.bfloat16)
+    scfg = SamplerConfig(num_inference_steps=25, frames_per_batch=fpb,
+                         windows_per_call=1)
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((px, px, 3)).astype(np.float32) * 0.2
+    id_embed = rng.standard_normal(512).astype(np.float32)
+    audio = rng.standard_normal((f, 32, 1024)).astype(np.float32)
+    vasa = rng.standard_normal((f, 1, 1024)).astype(np.float32)
+    pose = rng.random((f, px, px, 3)).astype(np.float32)
+
+    def run():
+        latents = pipe.generate_latents(
+            ref, id_embed, jnp.asarray(audio), jnp.zeros_like(audio),
+            jnp.asarray(vasa), jnp.zeros_like(vasa), pose, scfg, seed=0,
+        )
+        return pipe.decode_latents(latents[:f], decode_chunk_size=5)
+
+    t0 = time.time()
+    frames = run()                          # compile + warm
+    compile_s = time.time() - t0
+    assert frames.shape == (f, px, px, 3)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        frames = run()
+        dt = min(dt, time.time() - t0)
+
+    nw = sampler_windows(f, fpb)            # 3 windows/step at buf=75
+    h100 = h100_clip(25, nw, fpb, px // 8, f)
+    print(json.dumps({
+        "metric": "sec_per_clip_576px_50f_25steps",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(h100 * TARGET_CHIPS / dt, 3),
+        "h100_comparator_s": round(h100, 2),
+        "raw_chip_ratio": round(h100 / dt, 3),
+        "windows_per_step": nw,
+        "first_run_incl_compile_s": round(compile_s, 1),
+        "peak_hbm_gib": _hbm_gib(),
+        "fps": round(f / dt, 3),
+    }))
+
+
+def main_traingrad():
+    """Flagship fwd+bwd on the real chip — grad-only, no optimizer moments
+    (VERDICT r4 missing #2 / task #3): params 3.32 GiB bf16 + grads 3.32 GiB
+    + remat activations fit one 16 GiB v5e where the full-Adam state cannot.
+    First on-hardware execution of the Pallas scan adjoint + flash backward.
+    Reports sec per grad-step and an MFU estimate (3x forward FLOPs)."""
+    import jax
+    from actalker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import ml_dtypes
+    from actalker_tpu.io.init import init_pipeline_params
+    from actalker_tpu.models.unet import UNetConfig
+    from actalker_tpu.pipeline.pipeline import PipelineModules
+    from actalker_tpu.training import trainer as T
+    from actalker_tpu.training.train import TRAINABLE, synthetic_batches
+
+    ucfg = UNetConfig(gradient_checkpointing=True)
+    modules = PipelineModules.create(unet_config=ucfg, dtype=jnp.bfloat16)
+    b, f, hw = 1, 8, 64
+    applies = {"unet": modules.unet.apply,
+               "pose_guider": modules.pose_guider.apply,
+               "audio_proj": modules.audio_proj.apply,
+               "id_proj": modules.id_proj.apply,
+               "vasa_proj": modules.vasa_proj.apply}
+    full = init_pipeline_params(
+        modules, jax.random.PRNGKey(0), image_size=(hw * 8, hw * 8),
+        latent_size=(hw, hw), use_eval_shape=True)
+    tcfg = T.TrainConfig(grad_accum_steps=1)
+
+    @jax.jit
+    def grad_step(params, batch, key):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: T.diffusion_loss(applies, p, batch, key, tcfg,
+                                       jnp.bfloat16),
+            has_aux=True)(params)
+        # consume the grads so XLA cannot DCE the backward: global grad norm
+        gn = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                          for g in jax.tree.leaves(grads)))
+        return loss, gn
+
+    key = jax.random.PRNGKey(0)
+    try:
+        params = jax.device_put(jax.tree.map(
+            lambda x: np.asarray(x).astype(ml_dtypes.bfloat16)
+            if np.asarray(x).ndim >= 2 else np.asarray(x),
+            {k: full[k] for k in TRAINABLE}))
+        batch = jax.device_put(next(synthetic_batches(b, f, hw, 320)))
+        loss, gn = grad_step(params, batch, key)
+        float(loss), float(gn)
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        print(json.dumps({
+            "metric": f"sec_per_grad_step_flagship_512px_{f}f_bs1",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": "RESOURCE_EXHAUSTED: grad-only flagship fwd+bwd does "
+                     "not fit one 16 GiB v5e at this shape",
+        }))
+        return
+
+    iters, dt = 3, float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            loss, gn = grad_step(params, batch, key)
+        float(gn)
+        dt = min(dt, (time.time() - t0) / iters)
+
+    # MFU estimate: fwd matmul/conv FLOPs of the 14f/4-CFG bench step are
+    # known from the r4 roofline work (~2/3 of 197 TF/s x 0.33 s conv +
+    # attention/FF shares); use the cost-analysis FLOPs straight from XLA.
+    try:
+        flops = grad_step.lower(params, batch, key).compile() \
+            .cost_analysis()["flops"]
+        mfu = flops / dt / 197e12
+    except Exception:
+        flops, mfu = None, None
+    print(json.dumps({
+        "metric": f"sec_per_grad_step_flagship_512px_{f}f_bs1",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": None,       # reference publishes no train perf
+        "peak_hbm_gib": _hbm_gib(),
+        "xla_flops": flops,
+        "mfu_vs_197tf": round(mfu, 3) if mfu else None,
+        "note": "grad-only (no Adam moments): 5-artifact loss, remat on, "
+                "bf16 params; first on-chip run of scan-adjoint + flash bwd",
+    }))
+
+
+def main_serve():
+    """Batched multi-identity serving on one chip (BASELINE config 5,
+    VERDICT r4 weak #6): 4 identities x shared audio via
+    serving.sample_video_batch vs the same 4 clips sequentially. 512 px,
+    14-frame clips, 25 steps."""
+    import jax
+    import jax.numpy as jnp
+    from actalker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from actalker_tpu.io.init import cast_params_bf16, init_pipeline_params
+    from actalker_tpu.pipeline import serving
+    from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
+    from actalker_tpu.pipeline.sampler import (
+        CondBuffers, SamplerConfig, make_plan, sample_video,
+    )
+
+    n_id, f, px = 4, 14, 512
+    hw = px // 8
+    modules = PipelineModules.create(dtype=jnp.bfloat16,
+                                     vae_dtype=jnp.bfloat16)
+    params = cast_params_bf16(init_pipeline_params(
+        modules, jax.random.PRNGKey(0), image_size=(px, px),
+        latent_size=(hw, hw), use_eval_shape=True,
+    ))
+    scfg = SamplerConfig(num_inference_steps=25, frames_per_batch=f)
+    plan = make_plan(scfg, f)
+    buf = plan.buffer_len
+
+    rng = np.random.default_rng(0)
+    bf16 = jnp.bfloat16
+
+    def one_buffers(i):
+        r = np.random.default_rng(i)
+        return CondBuffers(
+            id_tokens=jnp.asarray(r.standard_normal((buf, 1, 1024)), bf16),
+            audio_tokens=jnp.asarray(r.standard_normal((buf, 32, 1024)), bf16),
+            audio_tokens_u=jnp.zeros((buf, 32, 1024), bf16),
+            vasa_tokens=jnp.asarray(r.standard_normal((buf, 1, 1024)), bf16),
+            vasa_tokens_u=jnp.zeros((buf, 1, 1024), bf16),
+            image_latents=jnp.asarray(
+                r.standard_normal((buf, hw, hw, 4)) * 0.1, jnp.float32),
+            pose_fea=jnp.asarray(
+                r.standard_normal((buf, hw, hw, 320)) * 0.1, bf16),
+            audio_mask=jnp.ones((1, 1, px, px), jnp.float32),
+            exp_mask=jnp.ones((1, 1, px, px), jnp.float32),
+        )
+
+    buffers = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[one_buffers(i) for i in range(n_id)])
+    refs = jnp.asarray(rng.standard_normal((n_id, hw, hw, 4)) * 0.1,
+                       jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(n_id, dtype=jnp.uint32))
+    uapply = modules.unet.apply
+    uparams = params["unet"]
+
+    def run_batch():
+        out = serving.sample_video_batch(
+            uapply, uparams, scfg, plan, buffers, refs, keys)
+        out.block_until_ready()
+        return out
+
+    seq = jax.jit(lambda bufs, ref, key: sample_video(
+        uapply, uparams, scfg, plan, bufs, ref, key))
+
+    def run_seq():
+        outs = []
+        for i in range(n_id):
+            outs.append(seq(jax.tree.map(lambda x, i=i: x[i], buffers),
+                            refs[i], keys[i]))
+        outs[-1].block_until_ready()
+        return outs
+
+    run_batch()                             # compile + warm
+    bt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_batch()
+        bt = min(bt, time.time() - t0)
+
+    run_seq()
+    st = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_seq()
+        st = min(st, time.time() - t0)
+
+    # comparator: the H100 serving the same 4 clips back to back
+    h100 = 4 * h100_clip(25, sampler_windows(f, f), f, hw, f)
+    print(json.dumps({
+        "metric": "sec_per_4id_serving_batch_512px_14f",
+        "value": round(bt, 3),
+        "unit": "s",
+        "vs_baseline": round(h100 * TARGET_CHIPS / bt, 3),
+        "sequential_s": round(st, 3),
+        "batch_speedup_vs_sequential": round(st / bt, 3),
+        "clips_per_min_batched": round(4 * 60 / bt, 2),
+        "peak_hbm_gib": _hbm_gib(),
     }))
 
 
@@ -173,6 +489,8 @@ def main_train():
         params, opt, m = step(params, opt, batch, key)   # compile + warm
         float(m["loss"])
     except Exception as e:                # RESOURCE_EXHAUSTED on 16 GB HBM
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise                          # unrelated failures must surface
         print(json.dumps({
             "metric": f"sec_per_train_step_flagship_512px_{f}f_bs1",
             "value": None, "unit": "s", "vs_baseline": None,
@@ -408,12 +726,18 @@ def _require_tpu(probe_timeout_s: float = 180.0):
 
 if __name__ == "__main__":
     _require_tpu()
-    if "--clip" in sys.argv[1:]:
+    if "--clip576" in sys.argv[1:]:
+        main_clip576()
+    elif "--clip" in sys.argv[1:]:
         main_clip()
     elif "--gather" in sys.argv[1:]:
         main_gather()
+    elif "--traingrad" in sys.argv[1:]:
+        main_traingrad()
     elif "--train" in sys.argv[1:]:
         main_train()
+    elif "--serve" in sys.argv[1:]:
+        main_serve()
     elif "--window576" in sys.argv[1:]:
         main(production_shape=True)
     else:

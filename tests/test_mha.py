@@ -38,12 +38,30 @@ def test_mha_pallas_interpret_matches_xla():
                                atol=5e-3, rtol=1e-2)
 
 
-def test_mha_pallas_interpret_multiblock_online_softmax():
-    # more than one k block so the online-softmax rescale path runs
+def test_mha_pallas_interpret_multiblock_online_softmax(monkeypatch):
+    # force more than one k block so the online-softmax rescale path runs
+    # (the r5 default picks bk=s -> the single-pass kernel at this size)
+    monkeypatch.setenv("ACTALKER_MHA_BLOCKS", "256,256")
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     b, s, c, h = 1, 512, 32, 2
     q, k, v = (_rand(ks[0], (b, s, c)), _rand(ks[1], (b, s, c)),
                _rand(ks[2], (b, s, c)))
+    sc = (c // h) ** -0.5
+    out = _mha_pallas(q, k, v, h, sc, interpret=True)
+    ref = _mha_xla(q, k, v, h, sc)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=1e-2)
+
+
+def test_mha_pallas_interpret_single_pass_kernel():
+    # nk=1 routes to _mha_kernel_1pass (exp2 softmax, no online rescale)
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    b, s, c, h = 2, 256, 64, 4
+    q, k, v = (_rand(ks[0], (b, s, c)), _rand(ks[1], (b, s, c)),
+               _rand(ks[2], (b, s, c)))
+    from actalker_tpu.ops.mha import _pick_blocks
+
+    assert _pick_blocks(s, c)[1] == s      # whole-sequence key block
     sc = (c // h) ** -0.5
     out = _mha_pallas(q, k, v, h, sc, interpret=True)
     ref = _mha_xla(q, k, v, h, sc)

@@ -95,6 +95,52 @@ def test_video_fusion_noise_stats():
     assert 0.3 < float(c) < 0.7
 
 
+def test_video_fusion_noise_vs_reference():
+    """Formula oracle vs the reference's OWN ``video_fusion_noise``
+    (``src/utils/noise_util.py:31-83``) with identical injected common /
+    per-frame tensors on both sides (the draws themselves are RNG-backend
+    specific; the hooks mirror the reference's ``initial_common_noise``).
+    The flagship pipeline never draws this noise in its loop (step call
+    ``:737`` passes no churn args) — this covers the scheduler-level
+    ``noise_type='video_fusion'`` surface our SamplerConfig exposes."""
+    import torch
+
+    from tests.torch_shim import pipeline_shim, shim
+
+    pipeline_shim.install()        # provides diffusers randn_tensor
+    nu = shim.load_reference_module("src.utils.noise_util")
+
+    rng = np.random.default_rng(3)
+    b, t, c, h, w = 2, 5, 4, 8, 8
+    common = rng.standard_normal((b, c, 1, h, w)).astype(np.float32)
+    ind = rng.standard_normal((b, c, t, h, w)).astype(np.float32)
+
+    calls = []
+
+    def fake_randn(shape, generator=None, device=None, dtype=None):
+        calls.append(tuple(shape))
+        return torch.from_numpy(ind)      # only the ind draw goes via randn
+
+    orig = nu.randn_tensor
+    try:
+        nu.randn_tensor = fake_randn
+        want = nu.video_fusion_noise(
+            shape=(b, c, t, h, w), dtype=torch.float32, device="cpu",
+            w_ind_noise=0.3,
+            initial_common_noise=torch.from_numpy(common)).numpy()
+    finally:
+        nu.randn_tensor = orig
+    assert calls == [(b, c, t, h, w)]
+
+    # ours is (B, T, C, H, W) frame-major — transpose the shared tensors
+    got = video_fusion_noise(
+        jax.random.PRNGKey(0), (b, t, c, h, w), w_ind_noise=0.3,
+        initial_common_noise=jnp.asarray(common.transpose(0, 2, 1, 3, 4)),
+        initial_ind_noise=jnp.asarray(ind.transpose(0, 2, 1, 3, 4)))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1, 3, 4), want, atol=1e-6)
+
+
 def test_random_noise_offset_shape():
     n = random_noise(jax.random.PRNGKey(0), (2, 4, 3, 8, 8), noise_offset=0.1)
     assert n.shape == (2, 4, 3, 8, 8)
