@@ -134,7 +134,17 @@ def test_reference_pipeline_latent_parity(torch_stack, flax_params, name,
 
     ref_image = torch.randn(1, 3, H, W, generator=gen).clamp(-1, 1) * 0.8
     idv = torch.randn(1, 1, 512, generator=gen)
-    pose = torch.rand(BUF, 3, H, W, generator=gen)
+    if gate == (1, 1):
+        pose = torch.rand(BUF, 3, H, W, generator=gen)
+    else:
+        # modes 0/1 gate the active branch by the FACE mask, which the
+        # reference derives from the first pose image's first channel
+        # (``pose_cond_tensor[0, :1, :1]``, pipeline :622 + :703-711) — the
+        # production pose input IS the white face box. A box (25% area)
+        # also keeps the capacity-gather config exact (active fraction
+        # under mask_capacity at every SS2D scale).
+        pose = torch.zeros(BUF, 3, H, W)
+        pose[:, :, 16:80, 32:96] = 1.0
     audio = torch.randn(NUM_FRAMES, 32, 1024, generator=gen)
     audio_u = torch.randn(NUM_FRAMES, 32, 1024, generator=gen) * 0.1
     vasa = torch.randn(NUM_FRAMES, 1024, generator=gen)
@@ -185,6 +195,14 @@ def test_reference_pipeline_latent_parity(torch_stack, flax_params, name,
         shift_offset=shift, gate=gate, noise_aug_strength=0.0,
         i2i_noise_strength=i2i,
     )
+    if gate == (1, 1):
+        am, em = mouth_mask[None].numpy(), exp_mask[None].numpy()
+    else:
+        # both modes feed the face mask on the ACTIVE branch; the inactive
+        # branch's mask is zeroed inside _cfg_conditioning (reference
+        # mask_list semantics, pipeline :703-711)
+        face = pose[0, :1][None].numpy()
+        am, em = face, face
     got = jpipe.generate_latents(
         ref_image[0].permute(1, 2, 0).numpy(),
         idv[0, 0].numpy(),
@@ -193,8 +211,7 @@ def test_reference_pipeline_latent_parity(torch_stack, flax_params, name,
         jnp.asarray(vasa_u.numpy()[:, None, :]),
         pose[:NUM_FRAMES].permute(0, 2, 3, 1).numpy(),
         scfg, seed=0,
-        audio_mask=mouth_mask[None].numpy(),
-        exp_mask=exp_mask[None].numpy(),
+        audio_mask=am, exp_mask=em,
         init_noise=noise[0].permute(0, 2, 3, 1).numpy(),
     )
     got = np.asarray(got).transpose(0, 3, 1, 2)           # (F, 4, 16, 16)
