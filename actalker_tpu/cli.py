@@ -106,7 +106,9 @@ def postprocess_frames(cfg, frames01, face_box, landmarks=None):
 
         params = W.convert_teeth(
             W.load_torch_state_dict(cfg.teeth_checkpoint_path))
-        fn = jax.jit(lambda x: TeethEnhancer().apply(params, x))
+        import functools
+        fn = functools.partial(
+            jax.jit(lambda p, x: TeethEnhancer().apply(p, x)), params)
         x1, y1, x2, y2 = face_box
         mouth = (x1, y1 + (y2 - y1) / 2, x2, y2)
         out = []
@@ -127,7 +129,9 @@ def postprocess_frames(cfg, frames01, face_box, landmarks=None):
         params = W.convert_bfr(
             W.load_torch_state_dict(cfg.bfr_checkpoint_path))
         gen = GPENGenerator()
-        fn = jax.jit(lambda x: gen.apply(params, x))
+        import functools
+        fn = functools.partial(
+            jax.jit(lambda p, x: gen.apply(p, x)), params)
         out = []
         for fr in frames01:
             u8 = (fr * 255).round().astype(np.uint8)
@@ -262,7 +266,9 @@ def _run_single(cfg, args, gate, pipe_cache, interactive, t0=None):
 
         bparams = W.convert_bfr(
             W.load_torch_state_dict(cfg.bfr_checkpoint_path))
-        bfr_fn = jax.jit(lambda x: GPENGenerator().apply(bparams, x))
+        import functools
+        bfr_fn = functools.partial(
+            jax.jit(lambda p, x: GPENGenerator().apply(p, x)), bparams)
         u8 = ((pre.ref_img * 0.5 + 0.5) * 255).round().astype(np.uint8)
         lm5 = None
         rbox = pre.bbox_ref

@@ -124,7 +124,9 @@ class EvalModels:
 
             params = convert_senet50(load_torch_state_dict(path))
             model = SENet50()
-            fn = jax.jit(lambda x: model.apply(params, x))
+            import functools
+            fn = functools.partial(
+                jax.jit(lambda p, x: model.apply(p, x)), params)
 
             def embed(frames_uint8):
                 import jax.numpy as jnp
@@ -153,7 +155,9 @@ class EvalModels:
 
             params = convert_lpips(load_torch_state_dict(path))
             model = LPIPSAlex()
-            return jax.jit(lambda a, b: model.apply(params, a, b))
+            import functools
+            return functools.partial(
+                jax.jit(lambda p, a, b: model.apply(p, a, b)), params)
 
         return self._load("lpips", "lpips_alex.pth", build)
 

@@ -146,11 +146,9 @@ class ACTalkerPipeline:
         Requires 'vasa_expression' / 'vasa_pose' params (converted from the
         reference's MX31c checkpoint)."""
         expr_fn = self._jit("vasa_expression", chunk, lambda: jax.jit(
-            lambda x: self.m.vasa_expression.apply(
-                self.params["vasa_expression"], x)))
+            lambda p, x: self.m.vasa_expression.apply(p, x)))
         pose_fn = self._jit("vasa_pose", chunk, lambda: jax.jit(
-            lambda x: self.m.vasa_pose.apply(
-                self.params["vasa_pose"], x * 2.0 - 1.0)))
+            lambda p, x: self.m.vasa_pose.apply(p, x * 2.0 - 1.0)))
         exprs, rots = [], []
         n = face_crops.shape[0]
         for i in range(0, n, chunk):
@@ -160,8 +158,10 @@ class ACTalkerPipeline:
             if pad:
                 fc = jnp.concatenate([fc, jnp.broadcast_to(fc[-1:], (pad,) + fc.shape[1:])])
                 pc = jnp.concatenate([pc, jnp.broadcast_to(pc[-1:], (pad,) + pc.shape[1:])])
-            exprs.append(np.asarray(expr_fn(fc))[:chunk - pad if pad else None])
-            rots.append(np.asarray(pose_fn(pc)["rotation"])[:chunk - pad if pad else None])
+            exprs.append(np.asarray(expr_fn(
+                self.params["vasa_expression"], fc))[:chunk - pad if pad else None])
+            rots.append(np.asarray(pose_fn(
+                self.params["vasa_pose"], pc)["rotation"])[:chunk - pad if pad else None])
         return np.concatenate(exprs)[:n], np.concatenate(rots)[:n]
 
     def vasa_tokens(self, expr: Optional[np.ndarray], rot: Optional[np.ndarray],
@@ -355,9 +355,14 @@ class ACTalkerPipeline:
         against D2H and cost ~1.5 s/clip at the bench shape."""
         scale = 1.0 / self.m.vae.config.scaling_factor
         frames = []
+        # params are an ARGUMENT, not a closure capture: a captured jax
+        # Array is baked into the jaxpr as a constant, which round-trips
+        # the whole VAE through the host at compile and keeps a second
+        # on-device copy alive — measured RESOURCE_EXHAUSTED at the 576px
+        # clip (outputs/perf_r05.log C3).
         decode = self._jit("vae_decode", decode_chunk_size, lambda: jax.jit(
-            lambda z: self.m.vae.apply(
-                self.params["vae"], z, method=AutoencoderKLTemporalDecoder.decode
+            lambda p, z: self.m.vae.apply(
+                p, z, method=AutoencoderKLTemporalDecoder.decode
             )
         ))
         n = latents.shape[0]
@@ -368,7 +373,7 @@ class ACTalkerPipeline:
                 chunk = jnp.concatenate(
                     [chunk, jnp.broadcast_to(chunk[-1:], (pad,) + chunk.shape[1:])]
                 )
-            out = decode(chunk[None])[0]
+            out = decode(self.params["vae"], chunk[None])[0]
             frames.append(out[: decode_chunk_size - pad if pad else None])
         return np.concatenate(
             [np.asarray(f, np.float32) for f in frames], axis=0)[:n]

@@ -37,11 +37,16 @@ def sample_video_batch(
 ) -> jax.Array:
     """Generate I clips in parallel; returns (I, buffer_len, h, w, 4)."""
 
-    def one(bufs, ref, key):
-        return sample_video(unet_apply, unet_params, cfg, plan, bufs, ref,
+    # params enter as a jit ARGUMENT (in_axes=None broadcasts them across
+    # the identity axis): capturing them in the closure would bake all
+    # ~3.3 GiB into the jaxpr as constants — a host round-trip at lowering
+    # plus a second device copy (measured: 3.46 GB captured-constants
+    # warning + HBM pressure, outputs/perf_r05.log C4).
+    def one(params, bufs, ref, key):
+        return sample_video(unet_apply, params, cfg, plan, bufs, ref,
                             key, dtype=dtype)
 
-    batched = jax.vmap(one, in_axes=(0, 0, 0))
+    batched = jax.vmap(one, in_axes=(None, 0, 0, 0))
     fn = jax.jit(batched)
     if mesh is not None:
         ident = NamedSharding(mesh, P("dp"))
@@ -57,4 +62,4 @@ def sample_video_batch(
         buffers = jax.tree.map(shard, buffers)
         ref_latents = jax.device_put(ref_latents, ident)
         noise_keys = jax.device_put(noise_keys, ident)
-    return fn(buffers, ref_latents, noise_keys)
+    return fn(unet_params, buffers, ref_latents, noise_keys)

@@ -56,15 +56,26 @@ class BatchBuilder:
         self.fps = fps
         self.raw_heads = raw_heads
         m = pipe.m
-        self._encode = jax.jit(lambda x: m.vae.apply(
-            pipe.params["vae"], x, method=AutoencoderKLTemporalDecoder.encode))
-        self._pose = jax.jit(lambda x: m.pose_guider.apply(
-            pipe.params["pose_guider"], x))
-        self._idp = jax.jit(lambda e: m.id_proj.apply(pipe.params["id_proj"], e))
-        self._aproj = jax.jit(
-            lambda w: m.audio_proj.apply(pipe.params["audio_proj"], w))
-        self._arc = (jax.jit(lambda x: arcface[0].apply(arcface[1], x))
-                     if arcface is not None else None)
+        # params bound via functools.partial as jit ARGUMENTS: a closure
+        # capture bakes them into the jaxpr as constants (host round-trip
+        # at lowering + a duplicate device copy — the 576px-clip OOM bug,
+        # pipeline.py decode_latents).
+        import functools as _ft
+
+        self._encode = _ft.partial(jax.jit(lambda p, x: m.vae.apply(
+            p, x, method=AutoencoderKLTemporalDecoder.encode)),
+            pipe.params["vae"])
+        self._pose = _ft.partial(
+            jax.jit(lambda p, x: m.pose_guider.apply(p, x)),
+            pipe.params["pose_guider"])
+        self._idp = _ft.partial(jax.jit(lambda p, e: m.id_proj.apply(p, e)),
+                                pipe.params["id_proj"])
+        self._aproj = _ft.partial(
+            jax.jit(lambda p, w: m.audio_proj.apply(p, w)),
+            pipe.params["audio_proj"])
+        self._arc = (_ft.partial(jax.jit(
+            lambda p, x: arcface[0].apply(p, x)), arcface[1])
+            if arcface is not None else None)
         self._warned: set = set()
 
     def _warn_once(self, key: str, msg: str) -> None:

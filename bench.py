@@ -248,15 +248,11 @@ def main_traingrad():
 
     ucfg = UNetConfig(gradient_checkpointing=True)
     modules = PipelineModules.create(unet_config=ucfg, dtype=jnp.bfloat16)
-    b, f, hw = 1, 8, 64
     applies = {"unet": modules.unet.apply,
                "pose_guider": modules.pose_guider.apply,
                "audio_proj": modules.audio_proj.apply,
                "id_proj": modules.id_proj.apply,
                "vasa_proj": modules.vasa_proj.apply}
-    full = init_pipeline_params(
-        modules, jax.random.PRNGKey(0), image_size=(hw * 8, hw * 8),
-        latent_size=(hw, hw), use_eval_shape=True)
     tcfg = T.TrainConfig(grad_accum_steps=1)
 
     @jax.jit
@@ -271,22 +267,42 @@ def main_traingrad():
         return loss, gn
 
     key = jax.random.PRNGKey(0)
-    try:
-        params = jax.device_put(jax.tree.map(
-            lambda x: np.asarray(x).astype(ml_dtypes.bfloat16)
-            if np.asarray(x).ndim >= 2 else np.asarray(x),
-            {k: full[k] for k in TRAINABLE}))
-        batch = jax.device_put(next(synthetic_batches(b, f, hw, 320)))
-        loss, gn = grad_step(params, batch, key)
-        float(loss), float(gn)
-    except Exception as e:
-        if "RESOURCE_EXHAUSTED" not in str(e):
-            raise
+    # Shape ladder: 8f/512px (bf16 params 3.32 GiB + grads 3.32 GiB) was
+    # measured RESOURCE_EXHAUSTED on the 16 GiB chip (perf_r05.log C2) —
+    # the backward's live set on top of the state is what overflows, the
+    # reference's ZeRO-2 motivation again. Walk down to the largest shape
+    # that executes so the scan adjoint + flash bwd still get a REAL
+    # on-chip number.
+    b = 1
+    f = hw = None
+    errs = []
+    for f_try, hw_try in ((8, 64), (4, 64), (8, 32)):
+        full = init_pipeline_params(
+            modules, jax.random.PRNGKey(0),
+            image_size=(hw_try * 8, hw_try * 8),
+            latent_size=(hw_try, hw_try), use_eval_shape=True)
+        try:
+            params = jax.device_put(jax.tree.map(
+                lambda x: np.asarray(x).astype(ml_dtypes.bfloat16)
+                if np.asarray(x).ndim >= 2 else np.asarray(x),
+                {k: full[k] for k in TRAINABLE}))
+            batch = jax.device_put(
+                next(synthetic_batches(b, f_try, hw_try, 320)))
+            loss, gn = grad_step(params, batch, key)
+            float(loss), float(gn)
+            f, hw = f_try, hw_try
+            break
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            errs.append(f"{hw_try*8}px/{f_try}f")
+            del params, batch
+    if f is None:
         print(json.dumps({
-            "metric": f"sec_per_grad_step_flagship_512px_{f}f_bs1",
+            "metric": "sec_per_grad_step_flagship_bs1",
             "value": None, "unit": "s", "vs_baseline": None,
             "error": "RESOURCE_EXHAUSTED: grad-only flagship fwd+bwd does "
-                     "not fit one 16 GiB v5e at this shape",
+                     f"not fit one 16 GiB v5e at any of {errs}",
         }))
         return
 
@@ -308,13 +324,14 @@ def main_traingrad():
     except Exception:
         flops, mfu = None, None
     print(json.dumps({
-        "metric": f"sec_per_grad_step_flagship_512px_{f}f_bs1",
+        "metric": f"sec_per_grad_step_flagship_{hw*8}px_{f}f_bs1",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": None,       # reference publishes no train perf
         "peak_hbm_gib": _hbm_gib(),
         "xla_flops": flops,
         "mfu_vs_197tf": round(mfu, 3) if mfu else None,
+        "oom_shapes": errs or None,
         "note": "grad-only (no Adam moments): 5-artifact loss, remat on, "
                 "bf16 params; first on-chip run of scan-adjoint + flash bwd",
     }))
@@ -382,13 +399,14 @@ def main_serve():
         out.block_until_ready()
         return out
 
-    seq = jax.jit(lambda bufs, ref, key: sample_video(
-        uapply, uparams, scfg, plan, bufs, ref, key))
+    # params as jit argument — closure capture bakes 3.3 GiB of constants
+    seq = jax.jit(lambda p, bufs, ref, key: sample_video(
+        uapply, p, scfg, plan, bufs, ref, key))
 
     def run_seq():
         outs = []
         for i in range(n_id):
-            outs.append(seq(jax.tree.map(lambda x, i=i: x[i], buffers),
+            outs.append(seq(uparams, jax.tree.map(lambda x, i=i: x[i], buffers),
                             refs[i], keys[i]))
         outs[-1].block_until_ready()
         return outs

@@ -47,7 +47,9 @@ def main():
     Image.fromarray(img).save(ref_png)
 
     wav = os.path.join(root, "drive.wav")
-    secs = frames / 25.0 + 1.0                      # step=2 @ 50 tok/s
+    # cli: num_frames = min(frame_limit, samples//640) // step, step=2 at
+    # 25 fps source -> need samples//640 >= 2*frames, i.e. secs >= frames/12.5
+    secs = frames / 12.5 + 1.0
     t = np.arange(int(16000 * secs)) / 16000.0
     pcm = (0.2 * np.sin(2 * np.pi * 220 * t) * (0.6 + 0.4 * np.sin(
         2 * np.pi * 3.1 * t)) + 0.01 * rng.standard_normal(t.shape))
