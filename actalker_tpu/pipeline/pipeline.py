@@ -354,6 +354,14 @@ class ACTalkerPipeline:
         the per-chunk ``np.asarray`` in the r2 version serialized decode
         against D2H and cost ~1.5 s/clip at the bench shape."""
         scale = 1.0 / self.m.vae.config.scaling_factor
+        # Fence the sampler before dispatching decode: the TPU runtime
+        # allocates a program's temp workspace at ENQUEUE, so async decode
+        # chunks stack their scratch on top of the still-running sampler's
+        # — measured RESOURCE_EXHAUSTED at the 576px clip even after the
+        # constant-capture fix (outputs/perf_r05.log D1). One host readback
+        # (~30 ms; block_until_ready does not reliably block through the
+        # tunnel) bounds the peak; chunks still overlap each other.
+        np.asarray(jax.device_get(latents[:1, :1, :1, :1]))
         frames = []
         # params are an ARGUMENT, not a closure capture: a captured jax
         # Array is baked into the jaxpr as a constant, which round-trips

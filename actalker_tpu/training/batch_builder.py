@@ -36,7 +36,7 @@ log = get_logger("batch_builder")
 class BatchBuilder:
     def __init__(self, pipe, fps: float = 12.5,
                  arcface: Optional[Tuple[Any, Any]] = None,
-                 raw_heads: bool = False):
+                 raw_heads: bool = False, encode_chunk: int = 16):
         """``pipe``: an ACTalkerPipeline (modules + params).
 
         ``arcface``: optional (module, params) mapping (B, 112, 112, 3)
@@ -55,6 +55,11 @@ class BatchBuilder:
         self.pipe = pipe
         self.fps = fps
         self.raw_heads = raw_heads
+        # VAE-encode at most this many frames per device call: a global
+        # batch (8 samples x 8 frames at 512 px) in ONE encode allocates
+        # multi-GiB activation tensors (64 x 512^2 x 128ch) and OOMs a
+        # 16 GiB v5e next to the model state (outputs/perf_r05.log C8).
+        self.encode_chunk = encode_chunk
         m = pipe.m
         # params bound via functools.partial as jit ARGUMENTS: a closure
         # capture bakes them into the jaxpr as constants (host round-trip
@@ -181,14 +186,31 @@ class BatchBuilder:
             "conditioning is zero")
         return np.zeros((f, 512), np.float32), np.zeros((f, 3), np.float32)
 
+    def _encode_chunked(self, x: jax.Array) -> jax.Array:
+        """(N, H, W, 3) -> latents, at most ``encode_chunk`` frames per
+        device call; the tail is padded so every call shares one compiled
+        shape."""
+        n, ck = x.shape[0], self.encode_chunk
+        if n <= ck:
+            return self._encode(x)
+        outs = []
+        for i in range(0, n, ck):
+            c = x[i:i + ck]
+            pad = ck - c.shape[0]
+            if pad:
+                c = jnp.concatenate(
+                    [c, jnp.broadcast_to(c[-1:], (pad,) + c.shape[1:])])
+            outs.append(self._encode(c)[: ck - pad if pad else None])
+        return jnp.concatenate(outs, axis=0)
+
     def __call__(self, samples: list[Dict[str, Any]]) -> TrainBatch:
         scale = self.pipe.m.vae.config.scaling_factor
         frames = jnp.asarray(np.stack([s["frames"] for s in samples]))
         b, f, hh, ww, _ = frames.shape
-        latents = self._encode(frames.reshape(b * f, hh, ww, 3))
+        latents = self._encode_chunked(frames.reshape(b * f, hh, ww, 3))
         latents = latents.reshape(b, f, *latents.shape[1:]) * scale
         refs = jnp.asarray(np.stack([s["ref_frame"] for s in samples]))
-        ref_latents = self._encode(refs)  # unscaled (channel-concat cond)
+        ref_latents = self._encode_chunked(refs)  # unscaled (concat cond)
 
         pose_imgs = jnp.asarray(np.stack([
             np.repeat(s["pose_mask"][..., None], 3, axis=-1) for s in samples

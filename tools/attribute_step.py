@@ -118,9 +118,13 @@ def module_of(op_name):
 
 
 def main():
-    steps = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
-    tot, cnt = trace_totals(os.path.join(ROOT, "outputs", "xprof_step"))
-    ops, comp_bodies = parse_hlo(os.path.join(ROOT, "outputs", "step_hlo.txt"))
+    prod = "--prod" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    steps = float(pos[0]) if pos else 3.0
+    tot, cnt = trace_totals(os.path.join(
+        ROOT, "outputs", "xprof_step_576" if prod else "xprof_step"))
+    ops, comp_bodies = parse_hlo(os.path.join(
+        ROOT, "outputs", "step_hlo_576.txt" if prod else "step_hlo.txt"))
 
     by_class = defaultdict(int)
     by_module = defaultdict(int)

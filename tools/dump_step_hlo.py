@@ -28,13 +28,14 @@ from actalker_tpu.models.unet import UNetConfig, UNetSpatioTemporalCondition
 def main():
     cfg = UNetConfig()
     unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.bfloat16)
-    b, f, hw = 4, 14, 64
+    prod = "--prod" in sys.argv
+    b, f, hw = (4, 25, 72) if prod else (4, 14, 64)
     cond = Conditioning(
         id_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
         audio_tokens=jnp.zeros((b * f, 32, 1024), jnp.bfloat16),
         vasa_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
-        audio_mask=jnp.ones((1, 1, 512, 512), jnp.float32),
-        exp_mask=jnp.ones((1, 1, 512, 512), jnp.float32),
+        audio_mask=jnp.ones((1, 1, hw * 8, hw * 8), jnp.float32),
+        exp_mask=jnp.ones((1, 1, hw * 8, hw * 8), jnp.float32),
     )
     sample0 = jnp.zeros((b, f, hw, hw, 8), jnp.bfloat16)
     tids = jnp.zeros((b, 3), jnp.bfloat16)
@@ -61,7 +62,8 @@ def main():
     compiled = lowered.compile()
     txt = compiled.as_text()
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "outputs", "step_hlo.txt")
+        os.path.abspath(__file__))), "outputs",
+        "step_hlo_576.txt" if prod else "step_hlo.txt")
     with open(out_path, "w") as fh:
         fh.write(txt)
     print(f"wrote {out_path} ({len(txt)/1e6:.1f} MB)")

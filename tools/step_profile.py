@@ -29,13 +29,16 @@ def main():
 
     cfg = UNetConfig()
     unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.bfloat16)
-    b, f, hw = 4, 14, 64
+    # --prod: the reference's default operating point (576px -> 72x72
+    # latents, 25-frame windows) instead of the 512px/14f bench shape
+    prod = "--prod" in sys.argv
+    b, f, hw = (4, 25, 72) if prod else (4, 14, 64)
     cond = Conditioning(
         id_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
         audio_tokens=jnp.zeros((b * f, 32, 1024), jnp.bfloat16),
         vasa_tokens=jnp.zeros((b * f, 1, 1024), jnp.bfloat16),
-        audio_mask=jnp.ones((1, 1, 512, 512), jnp.float32),
-        exp_mask=jnp.ones((1, 1, 512, 512), jnp.float32),
+        audio_mask=jnp.ones((1, 1, hw * 8, hw * 8), jnp.float32),
+        exp_mask=jnp.ones((1, 1, hw * 8, hw * 8), jnp.float32),
     )
     sample0 = jnp.zeros((b, f, hw, hw, 8), jnp.bfloat16)
     tids = jnp.zeros((b, 3), jnp.bfloat16)
@@ -63,14 +66,16 @@ def main():
     float(jnp.sum(sample.astype(jnp.float32)))  # warm + drain
 
     logdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "outputs", "xprof_step")
+        os.path.abspath(__file__))), "outputs",
+        "xprof_step_576" if prod else "xprof_step")
     os.makedirs(logdir, exist_ok=True)
     with jax.profiler.trace(logdir):
         for _ in range(3):
             sample = denoise_step(params, sample, pose)
         float(jnp.sum(sample.astype(jnp.float32)))
 
-    ntop = sys.argv[1] if len(sys.argv) > 1 else "40"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ntop = pos[0] if pos else "40"
     subprocess.run([sys.executable,
                     os.path.join(os.path.dirname(__file__), "xprof_top.py"),
                     logdir, ntop])

@@ -124,7 +124,38 @@ def bwd_5184():
         print(f"bwd grad d{name} maxerr={err:.5f} rel={rel:.5f}", flush=True)
 
 
+def sweep_576():
+    """Block sweep at the 576-px production spatial shape (VERDICT r4 weak
+    #3: the 5376→1792/768 block choice was untuned there). S=5184 pads to
+    5376 = 21*256 inside the kernel; candidate bq are 5376's 256-multiple
+    divisors, bk=5376 routes to the 1-pass kernel."""
+    b, s, c, h = 100, 5184, 320, 5          # 4-CFG x 25 frames
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (b, s, c), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, s, c), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, s, c), jnp.bfloat16)
+    for bq, bk in ((256, 5376), (768, 5376), (1344, 5376),
+                   (768, 1344), (1344, 1344), (256, 2688), (768, 2688)):
+        os.environ["ACTALKER_MHA_BLOCKS"] = f"{bq},{bk}"
+        try:
+            f = jax.jit(lambda q, k, v: M.mha_tokens(q, k, v, h))
+            t = timeit(f, q, k, v, n=10)
+            print(f"mha576 ({b},{s}->5376,{c},h{h}) bq={bq:4d} bk={bk:4d}: "
+                  f"{t:8.3f} ms", flush=True)
+        except Exception as e:
+            print(f"mha576 bq={bq:4d} bk={bk:4d}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+    os.environ.pop("ACTALKER_MHA_BLOCKS", None)
+    f = jax.jit(lambda q, k, v: M.mha_tokens(q, k, v, h))
+    t = timeit(f, q, k, v, n=10)
+    dbq, dbk = M._pick_blocks(5376, c)
+    print(f"mha576 DEFAULT bq={dbq} bk={dbk}: {t:8.3f} ms", flush=True)
+
+
 if __name__ == "__main__":
-    if "--bwd-only" not in sys.argv[1:]:
-        sweep()
-    bwd_5184()
+    if "--s576" in sys.argv[1:]:
+        sweep_576()
+    else:
+        if "--bwd-only" not in sys.argv[1:]:
+            sweep()
+        bwd_5184()
