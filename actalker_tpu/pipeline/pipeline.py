@@ -324,6 +324,13 @@ class ACTalkerPipeline:
                 unet, config=dataclasses.replace(
                     unet.config, mask_capacity=caps))
 
+        # Fence the conditioning encoders before launching the sampler: TPU
+        # program workspaces are reserved at ENQUEUE, so the still-queued
+        # VAE-encode/PoseGuider scratch would stack under the sampler's
+        # (RESOURCE_EXHAUSTED at 576px, outputs/perf_r05.log E0). pose_fea
+        # is the last-enqueued encoder output, so its readback implies all
+        # earlier programs have retired (in-order execution).
+        np.asarray(jax.device_get(pose_fea[:1, :1, :1, :1]))
         key, k_noise = jax.random.split(key)
         inj = init_noise is not None
         run = self._jit("sample", (config, num_frames, caps, inj),

@@ -267,42 +267,35 @@ def main_traingrad():
         return loss, gn
 
     key = jax.random.PRNGKey(0)
-    # Shape ladder: 8f/512px (bf16 params 3.32 GiB + grads 3.32 GiB) was
-    # measured RESOURCE_EXHAUSTED on the 16 GiB chip (perf_r05.log C2) —
-    # the backward's live set on top of the state is what overflows, the
-    # reference's ZeRO-2 motivation again. Walk down to the largest shape
-    # that executes so the scan adjoint + flash bwd still get a REAL
-    # on-chip number.
+    # One shape per PROCESS: an in-process ladder leaks the failed
+    # attempt's device state (the OOM'd upload + param tree keep HBM full;
+    # measured: attempt 2's PRNGKey alloc RESOURCE_EXHAUSTED,
+    # perf_r05.log D3). main() below subprocess-walks the ladder; this
+    # function runs exactly one shape from $ACTALKER_TRAINGRAD_SHAPE.
     b = 1
-    f = hw = None
+    f, hw = (int(t) for t in os.environ.get(
+        "ACTALKER_TRAINGRAD_SHAPE", "8,64").split(","))
     errs = []
-    for f_try, hw_try in ((8, 64), (4, 64), (8, 32)):
-        full = init_pipeline_params(
-            modules, jax.random.PRNGKey(0),
-            image_size=(hw_try * 8, hw_try * 8),
-            latent_size=(hw_try, hw_try), use_eval_shape=True)
-        try:
-            params = jax.device_put(jax.tree.map(
-                lambda x: np.asarray(x).astype(ml_dtypes.bfloat16)
-                if np.asarray(x).ndim >= 2 else np.asarray(x),
-                {k: full[k] for k in TRAINABLE}))
-            batch = jax.device_put(
-                next(synthetic_batches(b, f_try, hw_try, 320)))
-            loss, gn = grad_step(params, batch, key)
-            float(loss), float(gn)
-            f, hw = f_try, hw_try
-            break
-        except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
-                raise
-            errs.append(f"{hw_try*8}px/{f_try}f")
-            del params, batch
-    if f is None:
+    full = init_pipeline_params(
+        modules, jax.random.PRNGKey(0), image_size=(hw * 8, hw * 8),
+        latent_size=(hw, hw), use_eval_shape=True)
+    try:
+        params = jax.device_put(jax.tree.map(
+            lambda x: np.asarray(x).astype(ml_dtypes.bfloat16)
+            if np.asarray(x).ndim >= 2 else np.asarray(x),
+            {k: full[k] for k in TRAINABLE}))
+        batch = jax.device_put(next(synthetic_batches(b, f, hw, 320)))
+        loss, gn = grad_step(params, batch, key)
+        float(loss), float(gn)
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" not in str(e) \
+                and "Ran out of memory" not in str(e):
+            raise
         print(json.dumps({
-            "metric": "sec_per_grad_step_flagship_bs1",
+            "metric": f"sec_per_grad_step_flagship_{hw*8}px_{f}f_bs1",
             "value": None, "unit": "s", "vs_baseline": None,
             "error": "RESOURCE_EXHAUSTED: grad-only flagship fwd+bwd does "
-                     f"not fit one 16 GiB v5e at any of {errs}",
+                     f"not fit one 16 GiB v5e at {hw*8}px/{f}f",
         }))
         return
 
@@ -781,8 +774,28 @@ if __name__ == "__main__":
         main_clip()
     elif "--gather" in sys.argv[1:]:
         main_gather()
-    elif "--traingrad" in sys.argv[1:]:
+    elif "--traingrad-one" in sys.argv[1:]:
         main_traingrad()
+    elif "--traingrad" in sys.argv[1:]:
+        # subprocess per shape: HBM from a failed attempt is only reliably
+        # reclaimed at process exit (perf_r05.log D3); the on-disk
+        # compilation cache keeps retries cheap
+        import subprocess
+        for shape in ("8,64", "4,64", "8,32"):
+            env = dict(os.environ, ACTALKER_TRAINGRAD_SHAPE=shape)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--traingrad-one"], env=env, capture_output=True,
+                text=True, timeout=5400)
+            out = [ln for ln in r.stdout.splitlines()
+                   if ln.startswith('{"metric"')]
+            if out:
+                print(out[-1])
+                if json.loads(out[-1])["value"] is not None:
+                    break
+            else:
+                sys.stderr.write(r.stdout[-2000:] + r.stderr[-4000:])
+                break
     elif "--train" in sys.argv[1:]:
         main_train()
     elif "--serve" in sys.argv[1:]:

@@ -18,5 +18,7 @@ LOG=outputs/perf_r05.log
   timeout 3600 python -u tools/step_profile.py 40 --prod
   timeout 3600 python -u tools/dump_step_hlo.py --prod
   timeout 900 python tools/attribute_step.py 3 --prod
+  echo "=== $(date -u +%H:%M:%S) E3 traingrad retry (subprocess ladder) ==="
+  timeout 7200 python -u bench.py --traingrad
   echo "=== $(date -u +%H:%M:%S) chain E done ==="
 } >> "$LOG" 2>&1

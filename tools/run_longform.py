@@ -67,7 +67,10 @@ def main():
             "image_size: 512\n"
             "aspect_type: '1:1'\n"
             "data:\n  n_sample_frames: 14\n"
-            "windows_per_call: 2\n"       # bound activations on one chip
+            # 1 window per device call: wpc=2 doubles the UNet batch
+            # (112 at res-64) and hard-crashed the TPU worker twice at the
+            # 139-frame buffer (outputs/perf_r05.log C5/E0a)
+            "windows_per_call: 1\n"
             "decode_chunk_size: 10\n"
             "weight_dtype: bf16\n"
             f"output_dir: {root}/out\n"
