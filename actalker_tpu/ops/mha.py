@@ -168,7 +168,15 @@ def _pick_blocks(s: int, c: int) -> tuple:
                 best //= 2
         return best
 
-    bq = largest(768)              # 512 at 256-mult shapes; 768 at 5376
+    # bq by sweep (outputs/perf_r05.log A2.2 + E1): 512 wins where it
+    # divides s (2.544 vs 2.677 ms at s=1024); where it does not (s=5376,
+    # the padded 576-px shape) bq=256 beats 768 by 11% (54.1 vs 60.6 ms).
+    if s % 512 == 0:
+        bq = 512
+    elif s % 256 == 0:
+        bq = 256
+    else:
+        bq = largest(768)
     if bq * s * 4 <= 24 * 2**20:   # single-pass whole-sequence key block
         return bq, s
     return largest(2048), largest(1024)

@@ -331,6 +331,7 @@ class ACTalkerPipeline:
         # is the last-enqueued encoder output, so its readback implies all
         # earlier programs have retired (in-order execution).
         np.asarray(jax.device_get(pose_fea[:1, :1, :1, :1]))
+        del pose        # free the pixel-space pose stack (~200 MB at 576px)
         key, k_noise = jax.random.split(key)
         inj = init_noise is not None
         run = self._jit("sample", (config, num_frames, caps, inj),

@@ -177,13 +177,19 @@ def main_clip576():
     from actalker_tpu.pipeline.pipeline import ACTalkerPipeline, PipelineModules
     from actalker_tpu.pipeline.sampler import SamplerConfig
 
-    f, fpb, px = 50, 25, 576
+    f, fpb, px = 40, 25, 576        # buffer 65 -> still 3 windows/step
     modules = PipelineModules.create(dtype=jnp.bfloat16,
                                      vae_dtype=jnp.bfloat16)
     params = cast_params_bf16(init_pipeline_params(
         modules, jax.random.PRNGKey(0), image_size=(px, px),
         latent_size=(px // 8, px // 8), use_eval_shape=True,
     ))
+    # this bench drives the UNet/VAE path with synthetic tokens — drop the
+    # frontend encoders' params so they don't sit in HBM next to a sampler
+    # program that compiles within ~0.5 GiB of the 15.75 GiB cap
+    # (outputs/perf_r05.log F1: launch OOM'd with HBM full to the last MBs)
+    for k in ("whisper", "vasa_expression", "vasa_pose"):
+        params.pop(k, None)
     pipe = ACTalkerPipeline(modules, params, dtype=jnp.bfloat16)
     scfg = SamplerConfig(num_inference_steps=25, frames_per_batch=fpb,
                          windows_per_call=1)
@@ -215,7 +221,7 @@ def main_clip576():
     nw = sampler_windows(f, fpb)            # 3 windows/step at buf=75
     h100 = h100_clip(25, nw, fpb, px // 8, f)
     print(json.dumps({
-        "metric": "sec_per_clip_576px_50f_25steps",
+        "metric": f"sec_per_clip_576px_{f}f_25steps",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(h100 * TARGET_CHIPS / dt, 3),

@@ -83,6 +83,9 @@ def main():
     frames = 8
     if "--frames" in sys.argv:
         frames = int(sys.argv[sys.argv.index("--frames") + 1])
+    workers = 4
+    if "--workers" in sys.argv:
+        workers = int(sys.argv[sys.argv.index("--workers") + 1])
     bs, hw = 8, 512                    # one v5e-8 GLOBAL batch per yield
 
     import jax
@@ -96,7 +99,7 @@ def main():
             latent_size=(hw // 8, hw // 8), use_eval_shape=True))
         pipe = ACTalkerPipeline(modules, params, dtype=jnp.bfloat16)
 
-        it = real_batches(pipe, [meta], bs, frames, hw, num_workers=4)
+        it = real_batches(pipe, [meta], bs, frames, hw, num_workers=workers)
         t_first0 = time.time()
         batch = next(it)               # encoder compiles + first decode
         jax.tree.map(
@@ -115,7 +118,7 @@ def main():
         sps = bs / dt
 
     print(json.dumps({
-        "metric": f"loader_samples_per_s_512px_{frames}f_bs{bs}",
+        "metric": f"loader_samples_per_s_512px_{frames}f_bs{bs}_w{workers}",
         "value": round(sps, 2),
         "unit": "samples/s",
         "vs_baseline": None,

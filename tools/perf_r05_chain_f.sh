@@ -10,5 +10,9 @@ LOG=outputs/perf_r05.log
   timeout 7200 python -u tools/run_longform.py
   echo "=== $(date -u +%H:%M:%S) F3 clip 512 re-measure (fences active) ==="
   timeout 3600 python -u bench.py --clip
+  echo "=== $(date -u +%H:%M:%S) F5 window576 re-measure (bq=256 picker) ==="
+  timeout 3600 python -u bench.py --window576
+  echo "=== $(date -u +%H:%M:%S) F4 loader at 8 workers ==="
+  timeout 3600 python -u tools/loader_throughput.py --workers 8
   echo "=== $(date -u +%H:%M:%S) chain F done ==="
 } >> "$LOG" 2>&1
